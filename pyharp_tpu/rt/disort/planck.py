@@ -1,0 +1,94 @@
+"""Band-integrated Planck function.
+
+TPU-native equivalent of cdisort's thermal source setup (the reference's
+``planck`` flag with per-bin ``wvnmlo/wvnmhi`` integration, SURVEY.md
+section 2.3 item 1 and ``examples/amars_lw.cpp:18-38``): the emitted intensity
+of each spectral bin is
+
+    B_band(T) = int_{nu1}^{nu2} B_nu(T) dnu      [W / (m^2 sr)]
+
+with nu in cm^-1.  Writing x = c2 nu / T (c2 = h c / k in cm K),
+
+    int_{nu}^{inf} B dnu = (sigma T^4 / pi) * (15/pi^4) * S(x),
+    S(x) = sum_{k>=1} e^{-k x} (x^3/k + 3x^2/k^2 + 6x/k^3 + 6/k^4),
+
+and for small x the complementary power series
+
+    int_0^x v^3/(e^v - 1) dv = x^3 (1/3 - x/8 + x^2/60 - x^4/5040
+                               + x^6/272160 - x^8/13305600 ...)
+
+is used instead (the exponential sum converges slowly there).  Both branches
+are evaluated with static term counts and combined with ``where`` — no
+data-dependent control flow under jit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ...core import constants
+
+_XCUT = 1.5          # branch switch point
+_NEXP = 25           # exp-series terms: e^{-25*1.5} ~ 5e-17
+# Bernoulli series coefficients for int_0^x v^3/(e^v-1) dv / x^3
+_POWER_COEFS = (
+    (0, 1.0 / 3.0),
+    (1, -1.0 / 8.0),
+    (2, 1.0 / 60.0),
+    (4, -1.0 / 5040.0),
+    (6, 1.0 / 272160.0),
+    (8, -1.0 / 13305600.0),
+)
+_PI4_15 = 15.0 / jnp.pi**4
+
+
+def _upper_integral_scaled(x):
+    """(15/pi^4) int_x^inf v^3/(e^v-1) dv, valid for x >= ~1."""
+    ks = jnp.arange(1, _NEXP + 1, dtype=x.dtype)
+    xk = x[..., None] * ks
+    terms = jnp.exp(-xk) * (
+        x[..., None] ** 3 / ks + 3 * x[..., None] ** 2 / ks**2
+        + 6 * x[..., None] / ks**3 + 6 / ks**4
+    )
+    return _PI4_15 * terms.sum(-1)
+
+
+def _lower_integral_scaled(x):
+    """(15/pi^4) int_0^x v^3/(e^v-1) dv via power series, valid for x <= ~2."""
+    acc = jnp.zeros_like(x)
+    for p, c in _POWER_COEFS:
+        acc = acc + c * x**p
+    return _PI4_15 * x**3 * acc
+
+
+def _cumulative_fraction(x):
+    """F(x) = (15/pi^4) int_0^x v^3/(e^v-1) dv, all x >= 0 (static branches)."""
+    xs = jnp.clip(x, 0.0, _XCUT)          # safe arg for the power branch
+    xl = jnp.maximum(x, _XCUT)            # safe arg for the exp branch
+    lo = _lower_integral_scaled(xs)
+    hi = 1.0 - _upper_integral_scaled(xl)
+    return jnp.where(x < _XCUT, lo, hi)
+
+
+def planck_band(temp, wnlo, wnhi):
+    """Band-integrated Planck intensity [W / (m^2 sr)].
+
+    Args:
+      temp: temperature [K] (any broadcastable shape).
+      wnlo, wnhi: band edges [cm^-1], broadcastable against ``temp``.
+        ``wnlo == 0`` and ``wnhi == inf`` are allowed.
+    """
+    temp = jnp.asarray(temp)
+    t = jnp.maximum(temp, 1e-10)
+    c2 = jnp.asarray(constants.c2_cmK, t.dtype)
+    x1 = c2 * wnlo / t
+    x2 = c2 * jnp.minimum(wnhi, 1e30) / t
+    frac = _cumulative_fraction(x2) - _cumulative_fraction(x1)
+    frac = jnp.where(jnp.isinf(jnp.asarray(wnhi, t.dtype)),
+                     1.0 - _cumulative_fraction(x1), frac)
+    return (constants.stefanBoltzmann / jnp.pi) * t**4 * frac
+
+
+def planck_total(temp):
+    """sigma T^4 / pi — full-spectrum Planck intensity."""
+    return (constants.stefanBoltzmann / jnp.pi) * jnp.asarray(temp) ** 4
