@@ -25,11 +25,22 @@ data-dependent control flow under jit.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ...core import constants
 
-_XCUT = 1.5          # branch switch point
-_NEXP = 25           # exp-series terms: e^{-25*1.5} ~ 5e-17
+# Stefan-Boltzmann derived from (h, c, kB) so band integrals are internally
+# consistent with B_nu to machine precision.  The reference's tabulated
+# ``stefanBoltzmann`` (constants.h:15) mixes CODATA vintages and differs from
+# sigma(h,c,k) by ~4e-6 relative; we keep that constant for API parity but do
+# not use it here.
+_SIGMA = (
+    2.0 * np.pi**5 * constants.kBoltz**4
+    / (15.0 * constants.hPlanck**3 * constants.cLight**2)
+)
+
+_XCUT = 1.2          # branch switch point
+_NEXP = 30           # exp-series terms: e^{-30*1.2} ~ 2e-16
 # Bernoulli series coefficients for int_0^x v^3/(e^v-1) dv / x^3
 _POWER_COEFS = (
     (0, 1.0 / 3.0),
@@ -38,6 +49,7 @@ _POWER_COEFS = (
     (4, -1.0 / 5040.0),
     (6, 1.0 / 272160.0),
     (8, -1.0 / 13305600.0),
+    (10, 1.0 / 622702080.0),
 )
 _PI4_15 = 15.0 / jnp.pi**4
 
@@ -86,9 +98,9 @@ def planck_band(temp, wnlo, wnhi):
     frac = _cumulative_fraction(x2) - _cumulative_fraction(x1)
     frac = jnp.where(jnp.isinf(jnp.asarray(wnhi, t.dtype)),
                      1.0 - _cumulative_fraction(x1), frac)
-    return (constants.stefanBoltzmann / jnp.pi) * t**4 * frac
+    return (_SIGMA / jnp.pi) * t**4 * frac
 
 
 def planck_total(temp):
     """sigma T^4 / pi — full-spectrum Planck intensity."""
-    return (constants.stefanBoltzmann / jnp.pi) * jnp.asarray(temp) ** 4
+    return (_SIGMA / jnp.pi) * jnp.asarray(temp) ** 4

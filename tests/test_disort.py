@@ -1,0 +1,237 @@
+"""DISORT solver validation.
+
+The reference's tests printed values without asserting
+(``/root/reference/tests/test_disort.cpp``); here every case asserts against
+either a closed-form solution or the independent source-iteration oracle
+(``tests/oracle/sos.py``).  When the oracle runs with the *same* double-Gauss
+quadrature, both methods discretize the identical ODE system, so agreement is
+limited only by the oracle's O(dtau_sub^2) grid error — a tight end-to-end
+check of the eigen/particular/BVP machinery.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyharp_tpu.rt.disort.disort import Disort, DisortOptions
+from pyharp_tpu.rt.disort.planck import planck_total, _SIGMA
+from tests.oracle.sos import solve_sos
+from tests.oracle.dense_bvp import solve_dense
+
+
+def run_disort(dtau, ssa, moments=None, nstr=8, fbeam=0.0, mu0=0.5,
+               albedo=0.0, fisot=0.0, planck=False, temf=None,
+               btemp=0.0, ttemp=0.0, temis=0.0, wave=(0.0, np.inf)):
+    """Single-column convenience wrapper (dtau TOP-DOWN like the oracle)."""
+    nlyr = len(dtau)
+    nmom = 0 if moments is None else moments.shape[1] - 1
+    flags = "lamber,quiet,onlyfl" + (",planck" if planck else "")
+    op = DisortOptions(flags=flags, nwave=1, ncol=1, nlyr=nlyr, nstr=nstr,
+                       nmom=max(nmom, nstr),
+                       wave_lower=(float(wave[0]),) if planck else (),
+                       wave_upper=(float(wave[1]),) if planck else ())
+    ds = Disort(op)
+    nprop = 2 + nmom
+    prop = np.zeros((1, 1, nlyr, nprop))
+    # prop is BOTTOM-UP: flip the top-down inputs
+    prop[0, 0, :, 0] = dtau[::-1]
+    prop[0, 0, :, 1] = np.asarray(ssa)[::-1]
+    if nmom:
+        prop[0, 0, :, 2:] = moments[::-1, 1:]
+    bc = dict(
+        fbeam=jnp.full((1, 1), fbeam), umu0=jnp.full((1, 1), mu0),
+        albedo=jnp.full((1, 1), albedo), fisot=jnp.full((1, 1), fisot),
+        btemp=jnp.full((1, 1), btemp), ttemp=jnp.full((1, 1), ttemp),
+        temis=jnp.full((1, 1), temis),
+    )
+    tf = None if temf is None else jnp.asarray(temf[::-1])[None, :]  # bottom-up
+    flux = ds.forward(jnp.asarray(prop), bc, tf)
+    # return TOP-DOWN levels (flip back): (nlvl, 2) [up, down_total]
+    return np.asarray(flux[0, 0, ::-1, :])
+
+
+def sos_levels(res):
+    """Oracle fluxes as (nlvl, 2) [up, down_total], top-down."""
+    return np.stack([res["flup"], res["rfldn"] + res["rfldir"]], axis=-1)
+
+
+# ---------------------------------------------------------------- analytic --
+
+def test_pure_absorption_beam_exact():
+    dtau = np.array([0.3, 0.7, 1.5])
+    ssa = np.zeros(3)
+    got = run_disort(dtau, ssa, fbeam=np.pi, mu0=0.8)
+    taucum = np.concatenate([[0], np.cumsum(dtau)])
+    direct = 0.8 * np.pi * np.exp(-taucum / 0.8)
+    np.testing.assert_allclose(got[:, 1], direct, rtol=1e-12)
+    np.testing.assert_allclose(got[:, 0], 0.0, atol=1e-12)
+
+
+def test_pure_absorption_isothermal_emits_pi_B():
+    # thick isothermal absorbing atmosphere: TOA upward flux = pi * B(T)
+    T = 260.0
+    dtau = np.full(10, 3.0)
+    temf = np.full(11, T)
+    got = run_disort(dtau, np.zeros(10), planck=True, temf=temf, btemp=T)
+    piB = np.pi * float(planck_total(jnp.asarray(T)))
+    np.testing.assert_allclose(got[0, 0], piB, rtol=1e-8)
+    np.testing.assert_allclose(got[-1, 1], piB, rtol=1e-8)  # down at surface
+    # at every interior level, up and down both equal pi B (isothermal equilib)
+    np.testing.assert_allclose(got[:, 0], piB, rtol=1e-7)
+
+
+def test_semi_transparent_emission_vs_sos():
+    # non-isothermal, absorbing only: SOS converges in one sweep -> near exact
+    dtau = np.array([0.2, 0.5, 1.0, 2.0])
+    ssa = np.zeros(4)
+    temf = np.array([150.0, 180.0, 220.0, 260.0, 300.0])
+    B = np.asarray(planck_total(jnp.asarray(temf)))
+    b_top = B[:-1]
+    b_slope = (B[1:] - B[:-1]) / dtau
+    got = run_disort(dtau, ssa, planck=True, temf=temf, btemp=300.0)
+    res = solve_dense(dtau, ssa, np.ones((4, 1)), n_half=4,
+                      b_top=b_top, b_slope=b_slope, b_surface=float(B[-1]))
+    np.testing.assert_allclose(got, sos_levels(res), rtol=1e-9, atol=1e-12)
+
+
+# ------------------------------------------------------------- vs oracle ---
+
+@pytest.mark.parametrize("ssa_val,albedo", [(0.2, 0.0), (0.9, 0.0),
+                                            (0.5, 0.3), (0.99, 0.8)])
+def test_isotropic_beam_vs_sos(ssa_val, albedo):
+    dtau = np.array([0.25, 0.5, 1.0])
+    ssa = np.full(3, ssa_val)
+    mom = np.ones((3, 1))  # isotropic: g_0 only
+    got = run_disort(dtau, ssa, mom, fbeam=np.pi, mu0=0.6, albedo=albedo)
+    res = solve_dense(dtau, ssa, mom, n_half=4, fbeam=np.pi, mu0=0.6,
+                      albedo=albedo)
+    np.testing.assert_allclose(got, sos_levels(res), rtol=1e-9, atol=1e-12)
+    # independent-discretization sanity (source iteration on a fine grid)
+    sos = solve_sos(dtau, ssa, mom, n_half=4, fbeam=np.pi, mu0=0.6,
+                    albedo=albedo, nsub=150)
+    np.testing.assert_allclose(got, sos_levels(sos), rtol=5e-4, atol=5e-5)
+
+
+def test_rayleigh_beam_vs_sos():
+    dtau = np.array([0.1, 0.4, 0.8])
+    ssa = np.array([0.99, 0.7, 0.4])
+    mom = np.zeros((3, 3))
+    mom[:, 0] = 1.0
+    mom[:, 2] = 0.1  # Rayleigh g_2 = 1/10
+    got = run_disort(dtau, ssa, mom, fbeam=2.0, mu0=0.92, albedo=0.15)
+    res = solve_dense(dtau, ssa, mom, n_half=4, fbeam=2.0, mu0=0.92,
+                      albedo=0.15)
+    np.testing.assert_allclose(got, sos_levels(res), rtol=1e-9, atol=1e-12)
+
+
+def test_hg_truncated_vs_sos():
+    # HG moments truncated below nstr: both methods solve the same system;
+    # delta-M is a no-op because g_nstr = 0 after truncation.
+    g = 0.7
+    nstr = 8
+    dtau = np.array([0.5, 1.0])
+    ssa = np.array([0.85, 0.6])
+    ls = np.arange(nstr)          # l = 0..7
+    mom = np.stack([g**ls, g**ls])
+    got = run_disort(dtau, ssa, mom, nstr=nstr, fbeam=np.pi, mu0=0.5)
+    res = solve_dense(dtau, ssa, mom, n_half=nstr // 2, fbeam=np.pi, mu0=0.5)
+    np.testing.assert_allclose(got, sos_levels(res), rtol=1e-9, atol=1e-12)
+
+
+def test_scattering_plus_thermal_vs_sos():
+    dtau = np.array([0.3, 0.6, 1.2])
+    ssa = np.array([0.5, 0.3, 0.1])
+    mom = np.ones((3, 1))
+    temf = np.array([200.0, 230.0, 260.0, 290.0])
+    B = np.asarray(planck_total(jnp.asarray(temf)))
+    b_top = B[:-1]
+    b_slope = (B[1:] - B[:-1]) / dtau
+    got = run_disort(dtau, ssa, mom, planck=True, temf=temf, btemp=290.0,
+                     albedo=0.2, fbeam=1.5, mu0=0.7)
+    res = solve_dense(dtau, ssa, mom, n_half=4, fbeam=1.5, mu0=0.7,
+                      albedo=0.2, b_top=b_top, b_slope=b_slope,
+                      b_surface=float(B[-1]))
+    np.testing.assert_allclose(got, sos_levels(res), rtol=1e-9, atol=1e-12)
+
+
+def test_fisot_top_illumination_vs_sos():
+    dtau = np.array([0.4, 0.8])
+    ssa = np.array([0.6, 0.6])
+    mom = np.ones((2, 1))
+    got = run_disort(dtau, ssa, mom, fisot=2.5, albedo=0.4)
+    res = solve_dense(dtau, ssa, mom, n_half=4, fisot=2.5, albedo=0.4)
+    np.testing.assert_allclose(got, sos_levels(res), rtol=1e-9, atol=1e-12)
+
+
+# ------------------------------------------------------- structural checks --
+
+def test_layer_splitting_invariance():
+    """One homogeneous layer must equal the same medium split into 16."""
+    got1 = run_disort(np.array([2.0]), np.array([0.8]), np.ones((1, 1)),
+                      fbeam=np.pi, mu0=0.6, albedo=0.3)
+    n = 16
+    gotn = run_disort(np.full(n, 2.0 / n), np.full(n, 0.8), np.ones((n, 1)),
+                      fbeam=np.pi, mu0=0.6, albedo=0.3)
+    np.testing.assert_allclose(got1[0], gotn[0], rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(got1[-1], gotn[-1], rtol=1e-10, atol=1e-12)
+
+
+def test_inhomogeneous_sublayer_consistency():
+    """Fluxes at shared boundaries agree when layers are subdivided."""
+    dtau = np.array([0.5, 1.5])
+    ssa = np.array([0.9, 0.4])
+    got2 = run_disort(dtau, ssa, np.ones((2, 1)), fbeam=np.pi, mu0=0.7)
+    dtau4 = np.array([0.25, 0.25, 0.75, 0.75])
+    ssa4 = np.array([0.9, 0.9, 0.4, 0.4])
+    got4 = run_disort(dtau4, ssa4, np.ones((4, 1)), fbeam=np.pi, mu0=0.7)
+    np.testing.assert_allclose(got2[0], got4[0], rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(got2[1], got4[2], rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(got2[2], got4[4], rtol=1e-10, atol=1e-12)
+
+
+def test_energy_conservation_conservative_scattering():
+    """w0 -> 1, albedo = 1: no absorption, all incident flux comes back up."""
+    dtau = np.array([1.0, 2.0])
+    ssa = np.array([1.0, 1.0])  # dithered internally
+    got = run_disort(dtau, ssa, np.ones((2, 1)), fbeam=np.pi, mu0=0.8,
+                     albedo=1.0)
+    inc = 0.8 * np.pi
+    np.testing.assert_allclose(got[0, 0], inc, rtol=1e-5)
+    # net flux is ~zero at every level
+    np.testing.assert_allclose(got[:, 0], got[:, 1], rtol=1e-5)
+
+
+def test_thick_atmosphere_no_overflow():
+    """Very thick layers must not overflow (scaled exponentials)."""
+    dtau = np.array([1e5, 1e5])
+    ssa = np.array([0.9, 0.9])
+    got = run_disort(dtau, ssa, np.ones((2, 1)), fbeam=np.pi, mu0=0.5,
+                     planck=False)
+    assert np.all(np.isfinite(got))
+    assert got[-1, 1] >= 0  # no transmission, no negative garbage
+
+
+def test_batched_consistency():
+    """A batched (nwave, ncol) call must match per-column calls."""
+    rng = np.random.default_rng(0)
+    nwave, ncol, nlyr = 3, 2, 4
+    op = DisortOptions(flags="lamber,quiet,onlyfl", nwave=nwave, ncol=ncol,
+                       nlyr=nlyr, nstr=8, nmom=8)
+    ds = Disort(op)
+    prop = np.zeros((nwave, ncol, nlyr, 2))
+    prop[..., 0] = rng.uniform(0.1, 1.0, (nwave, ncol, nlyr))
+    prop[..., 1] = rng.uniform(0.0, 0.95, (nwave, ncol, nlyr))
+    bc = dict(fbeam=jnp.asarray(rng.uniform(1, 3, (nwave, ncol))),
+              umu0=jnp.asarray(rng.uniform(0.3, 0.95, (nwave, ncol))),
+              albedo=jnp.asarray(rng.uniform(0, 1, (nwave, ncol))))
+    full = np.asarray(ds.forward(jnp.asarray(prop), bc))
+    for iw in range(nwave):
+        for ic in range(ncol):
+            op1 = op.replace(nwave=1, ncol=1)
+            d1 = Disort(op1)
+            f1 = d1.forward(
+                jnp.asarray(prop[iw:iw + 1, ic:ic + 1]),
+                {k: v[iw:iw + 1, ic:ic + 1] for k, v in bc.items()},
+            )
+            np.testing.assert_allclose(full[iw, ic], np.asarray(f1)[0, 0],
+                                       rtol=1e-11, atol=1e-13)
