@@ -1,0 +1,196 @@
+"""RadiationBand: one spectral band = attenuator set + one RT solver.
+
+Parity with ``/root/reference/src/radiation/radiation_band.{hpp,cpp}``:
+
+* construction builds attenuators by ``type`` string and configures the RT
+  solver with band sizes / user directions / wave bounds
+  (``radiation_band.cpp:24-73``; both the reference's ``"h2sO4_simple"``
+  typo and the correct spelling are accepted, SURVEY.md section 7);
+* ``forward(conc, dz, bc, **atm)``: accumulates extinction, extinction-
+  weighted SSA and ext*ssa-weighted phase moments over attenuators,
+  renormalizes with the reference's exact epsilons
+  (``radiation_band.cpp:86-116``), converts extinction to optical thickness
+  ``tau = k dz``, exports ``radiation/<name>/optics`` to the shared
+  blackboard, and dispatches the solver (passing ``layer2level(temp)`` for
+  thermal bands, ``radiation_band.cpp:122-128``).
+
+Divergences by design: the property layout is standardized on the attenuator
+layout ``(nwave, ncol, nlyr, nprop)`` (the reference's band accumulator used
+a transposed legacy layout mid-refactor), and the blackboard is an explicit
+functional aux-output — the module-level ``shared`` dict is only populated
+when ``forward`` runs eagerly (outside ``jax.jit``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..core import index
+from ..interp.layer2level import Layer2LevelOptions, layer2level
+from ..opacity.base import AttenuatorOptions
+from ..opacity.aerosol import S8Fuller, H2SO4Simple
+from ..opacity.rfm import RFM
+from ..rt.disort.disort import Disort, DisortOptions
+from ..rt.beer_lambert import BeerLambert, BeerLambertOptions
+from ..utils.directions import parse_radiation_directions, get_direction_grids
+from .shared import shared
+
+_ATTENUATOR_BUILDERS = {
+    "rfm": lambda op, dtype: RFM.from_options(op, dtype=dtype),
+    "s8_fuller": lambda op, dtype: S8Fuller(op, dtype=dtype),
+    "h2so4_simple": lambda op, dtype: H2SO4Simple(op, dtype=dtype),
+    # reference typo, accepted deliberately (radiation_band.cpp:45)
+    "h2sO4_simple": lambda op, dtype: H2SO4Simple(op, dtype=dtype),
+}
+
+
+def register_attenuator(name: str, builder) -> None:
+    """Extension hook mirroring the legacy AbsorberFactory registry."""
+    _ATTENUATOR_BUILDERS[name] = builder
+
+
+@dataclasses.dataclass(frozen=True)
+class RadiationBandOptions:
+    """Mirror of ``RadiationBandOptions`` (``radiation_band.hpp:26-51``)."""
+
+    name: str = "band"
+    outdirs: str = ""
+    solver_name: str = "disort"
+    nlyr: int = 1
+    ncol: int = 1
+    wave_lower: tuple[float, ...] = ()
+    wave_upper: tuple[float, ...] = ()
+    attenuators: tuple[tuple[str, AttenuatorOptions], ...] = ()
+    disort: DisortOptions = DisortOptions()
+    beer_lambert: BeerLambertOptions = BeerLambertOptions()
+    l2l: Layer2LevelOptions = Layer2LevelOptions(check_positivity=False)
+    ck_weights: tuple[float, ...] = ()  # correlated-k quadrature weights
+
+    def replace(self, **kw) -> "RadiationBandOptions":
+        return dataclasses.replace(self, **kw)
+
+
+class RadiationBand:
+    def __init__(self, options: RadiationBandOptions, dtype=jnp.float32):
+        if options.wave_lower and options.wave_upper:
+            if len(options.wave_lower) != len(options.wave_upper):
+                raise ValueError(
+                    "wave_lower and wave_upper must have the same size")
+        self.options = options
+        self.dtype = dtype
+
+        self.attenuators: dict[str, Any] = {}
+        nmax_prop = 1
+        for name, aop in options.attenuators:
+            builder = _ATTENUATOR_BUILDERS.get(aop.type)
+            if builder is None:
+                raise ValueError(f"Unknown attenuator type: {aop.type}")
+            a = builder(aop, dtype)
+            nmax_prop = max(nmax_prop, a.nprop)
+            self.attenuators[name] = a
+        self.nmax_prop = nmax_prop
+
+        nwave = len(options.wave_lower) if options.wave_lower else None
+        ray_out = (parse_radiation_directions(options.outdirs)
+                   if options.outdirs else np.zeros((0, 2)))
+        uphi, umu = get_direction_grids(ray_out)
+
+        if options.solver_name == "disort":
+            dop = options.disort.replace(
+                nlyr=options.nlyr,
+                ncol=options.ncol,
+                user_phi=tuple(uphi),
+                user_mu=tuple(umu),
+                wave_lower=options.wave_lower,
+                wave_upper=options.wave_upper,
+            )
+            if nwave is not None:
+                dop = dop.replace(nwave=nwave)
+            self.rtsolver = Disort(dop)
+        elif options.solver_name == "beer_lambert":
+            bop = dataclasses.replace(
+                options.beer_lambert,
+                wave_lower=options.wave_lower,
+                wave_upper=options.wave_upper,
+            )
+            self.rtsolver = BeerLambert(bop)
+        else:
+            raise ValueError(f"Unknown solver: {options.solver_name}")
+
+    # ------------------------------------------------------------------
+
+    def compute_optics(self, conc: Array, dz: Array, **atm: Array) -> Array:
+        """Accumulate attenuator properties into band optics.
+
+        Returns ``(nwave, ncol, nlyr, nmax_prop)``: (tau, ssa, pmom...).
+        Accumulation order and epsilons match ``radiation_band.cpp:86-116``.
+        """
+        prop = None
+        for _, a in self.attenuators.items():
+            kdata = a.forward(conc, **atm)  # (nwave, ncol, nlyr, nprop_a)
+            nprop_a = kdata.shape[-1]
+            if nprop_a < self.nmax_prop:
+                pad = jnp.zeros(
+                    kdata.shape[:-1] + (self.nmax_prop - nprop_a,), kdata.dtype)
+                kdata = jnp.concatenate([kdata, pad], axis=-1)
+            # attenuators emit (k, ssa*k, pmom*ssa*k) already weighted
+            prop = kdata if prop is None else prop + kdata
+
+        if prop is None:
+            raise ValueError(f"band {self.options.name}: no attenuators")
+
+        nprop = prop.shape[-1]
+        parts = [prop[..., index.IEX:index.ISS]]
+        if nprop > 2:
+            pm = prop[..., index.IPM:] / (prop[..., index.ISS:index.IPM] + 1e-10)
+        if nprop > 1:
+            ss = prop[..., index.ISS:index.IPM] / (prop[..., index.IEX:index.ISS] + 1e-10)
+            parts.append(ss)
+        if nprop > 2:
+            parts.append(pm)
+        prop = jnp.concatenate(parts, axis=-1)
+
+        # extinction -> optical thickness; dz broadcast (nlyr,) or (ncol, nlyr)
+        dz = jnp.asarray(dz, prop.dtype)
+        if dz.ndim == 1:
+            dz_b = dz[None, None, :, None]
+        else:
+            dz_b = dz[None, :, :, None]
+        tau = prop[..., index.IEX:index.ISS] * dz_b
+        prop = jnp.concatenate([tau, prop[..., index.ISS:]], axis=-1)
+        return prop
+
+    def forward(
+        self,
+        conc: Array,
+        dz: Array,
+        bc: dict[str, Array],
+        atm: dict[str, Array] | None = None,
+    ) -> Array:
+        """Band flux ``(nwave, ncol, nlyr+1, 2)`` (bottom-up levels).
+
+        ``atm`` carries attenuator kwargs (pres/temp/wavelength/wavenumber).
+        """
+        atm = dict(atm or {})
+        prop = self.compute_optics(conc, dz, **atm)
+
+        # blackboard export (eager mode only; see module docstring)
+        shared[f"radiation/{self.options.name}/optics"] = prop
+
+        if "temp" in atm:
+            temf = layer2level(atm["temp"], self.options.l2l)
+            return self.rtsolver.forward(prop, bc, temf)
+        return self.rtsolver.forward(prop, bc)
+
+    def reduce_ck(self, flux: Array) -> Array:
+        """Correlated-k quadrature: band flux = sum_g w_g flux_g.
+
+        Parity with ``examples/amars_lw.cpp:84-88``.
+        """
+        w = jnp.asarray(np.asarray(self.options.ck_weights), flux.dtype)
+        return jnp.einsum("g,g...->...", w, flux)
