@@ -47,7 +47,9 @@ class SimpleAerosol:
             raise ValueError("Only one species is allowed")
         if options.species_ids[0] < 0:
             raise ValueError(f"Invalid species_id: {options.species_ids[0]}")
-        if options.type and options.type != expected_type:
+        # case-insensitive: the reference's band builder spells the type
+        # "h2sO4_simple" (radiation_band.cpp:45) — accepted deliberately
+        if options.type and options.type.lower() != expected_type:
             raise ValueError(f"Mismatch type: {options.type}")
 
         table = read_data_table(options.opacity_files[0])

@@ -1,0 +1,203 @@
+"""RadiationBand / Radiation / YAML factory tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyharp_tpu.opacity.base import AttenuatorOptions
+from pyharp_tpu.radiation.band import RadiationBand, RadiationBandOptions
+from pyharp_tpu.radiation.radiation import Radiation, RadiationOptions
+from pyharp_tpu.radiation.factory import create_radiation_options
+from pyharp_tpu.radiation.shared import shared
+from pyharp_tpu.rt.disort.disort import DisortOptions
+from pyharp_tpu import write_rfm_table
+
+
+def aerosol_band_options(nwave=4, ncol=1, nlyr=5):
+    op = AttenuatorOptions(
+        species_names=("S8", "H2SO4"),
+        species_weights=(256.0e-3, 98.0e-3),
+    )
+    return RadiationBandOptions(
+        name="sw",
+        nlyr=nlyr, ncol=ncol,
+        wave_lower=(2000.0,) * nwave,
+        wave_upper=(50000.0,) * nwave,
+        attenuators=(
+            ("s8", op.replace(species_ids=(0,), type="s8_fuller",
+                              opacity_files=("s8_k_fuller.txt",))),
+            # exercise the deliberately-accepted reference typo
+            ("h2so4", op.replace(species_ids=(1,), type="h2sO4_simple",
+                                 opacity_files=("h2so4.txt",))),
+        ),
+        disort=DisortOptions(flags="lamber,quiet,onlyfl", nstr=8, nmom=8),
+    )
+
+
+def test_band_optics_accumulation_matches_manual():
+    """Band accumulation must equal the reference recipe
+    (radiation_band.cpp:86-116) computed by hand."""
+    bop = aerosol_band_options()
+    band = RadiationBand(bop, dtype=jnp.float64)
+    ncol, nlyr = 1, 5
+    conc = jnp.full((ncol, nlyr, 2), 2.0, jnp.float64)
+    wave = jnp.linspace(2000.0, 50000.0, 4, dtype=jnp.float64)
+    dz = jnp.linspace(100.0, 500.0, nlyr, dtype=jnp.float64)
+
+    prop = band.compute_optics(conc, dz, wavenumber=wave)
+    assert prop.shape == (4, 1, 5, 2)
+
+    s8 = band.attenuators["s8"]
+    h2 = band.attenuators["h2so4"]
+    k1 = s8.forward(conc, wavenumber=wave)
+    k2 = h2.forward(conc, wavenumber=wave)
+    ext = k1[..., 0] + k2[..., 0]
+    ssa_w = k1[..., 1] + k2[..., 1]
+    want_tau = ext * np.asarray(dz)[None, None, :]
+    want_ssa = ssa_w / (ext + 1e-10)
+    np.testing.assert_allclose(prop[..., 0], want_tau, rtol=1e-12)
+    np.testing.assert_allclose(prop[..., 1], want_ssa, rtol=1e-12)
+
+
+def test_band_forward_and_shared_export():
+    bop = aerosol_band_options()
+    band = RadiationBand(bop, dtype=jnp.float64)
+    conc = jnp.full((1, 5, 2), 1.0, jnp.float64)
+    wave = jnp.linspace(2000.0, 50000.0, 4, dtype=jnp.float64)
+    dz = jnp.full((5,), 200.0, jnp.float64)
+    bc = dict(fbeam=jnp.full((4, 1), np.pi), umu0=jnp.ones((4, 1)),
+              albedo=jnp.zeros((4, 1)))
+    flux = band.forward(conc, dz, bc, dict(wavenumber=wave))
+    assert flux.shape == (4, 1, 6, 2)
+    assert np.all(np.isfinite(np.asarray(flux)))
+    assert "radiation/sw/optics" in shared
+
+
+def test_band_forward_is_jittable():
+    bop = aerosol_band_options()
+    band = RadiationBand(bop, dtype=jnp.float64)
+
+    @jax.jit
+    def run(conc, dz, wave, fbeam, umu0, albedo):
+        return band.forward(conc, dz,
+                            dict(fbeam=fbeam, umu0=umu0, albedo=albedo),
+                            dict(wavenumber=wave))
+
+    conc = jnp.ones((1, 5, 2), jnp.float64)
+    wave = jnp.linspace(2000.0, 50000.0, 4, dtype=jnp.float64)
+    dz = jnp.full((5,), 200.0, jnp.float64)
+    f = run(conc, dz, wave, jnp.full((4, 1), np.pi), jnp.ones((4, 1)),
+            jnp.zeros((4, 1)))
+    assert f.shape == (4, 1, 6, 2)
+
+
+def test_unknown_attenuator_type_raises():
+    bop = aerosol_band_options()
+    bad = bop.replace(attenuators=(
+        ("x", AttenuatorOptions(type="nope", species_ids=(0,),
+                                species_names=("S8",),
+                                species_weights=(0.256,),
+                                opacity_files=("s8_k_fuller.txt",))),))
+    with pytest.raises(ValueError, match="Unknown attenuator"):
+        RadiationBand(bad)
+
+
+def test_radiation_flags_parity():
+    ro = RadiationOptions().set_flags("broad_band, stellar_beam")
+    assert ro.broad_band and ro.stellar_beam and not ro.time_dependent
+    with pytest.raises(ValueError, match="unrecognized"):
+        RadiationOptions().set_flags("bogus_flag")
+
+
+def test_yaml_factory_amarsw_schema(tmp_path):
+    """Parse the reference's amarsw-ck.yaml schema with synthetic tables."""
+    ng = 4
+    tables = {}
+    rng = np.random.default_rng(0)
+    for b in ("b1", "b2"):
+        path = str(tmp_path / f"amarsw-ck-{b.upper()}.nc")
+        x, w = np.polynomial.legendre.leggauss(ng)
+        write_rfm_table(
+            path,
+            np.linspace(1, 150, ng), np.logspace(5, 2, 6),
+            np.linspace(-50, 50, 5), np.linspace(300, 150, 6),
+            {"CO2": rng.uniform(-3, 0, (ng, 6, 5)),
+             "H2O": rng.uniform(-4, -1, (ng, 6, 5))},
+            weights=w / w.sum())
+        tables[b] = path
+
+    config = {
+        "opacity-sources": [
+            {"name": "CO2", "class": "HitranCK", "data": tables["b1"],
+             "dependent-species": ["vapor.dry"]},
+            {"name": "H2O", "class": "HitranCK", "data": tables["b2"],
+             "dependent-species": ["vapor.H2O"]},
+        ],
+        "bands": ["B1", "B2"],
+        "B1": {"units": "cm-1", "grid-type": "cktable",
+               "wavenumber-range": [1.0, 150.0], "opacity": ["CO2"],
+               "rt-solver": "Disort", "flags": ["thermal_emission"]},
+        "B2": {"units": "cm-1", "grid-type": "cktable",
+               "wavenumber-range": [150.0, 500.0], "opacity": ["H2O"],
+               "rt-solver": "Disort", "flags": ["thermal_emission"]},
+        "Disort-flags": {"lamber": True, "onlyfl": True, "quiet": True,
+                         "intensity_correction": True, "ibcnd": False},
+    }
+    species = {"CO2": (0, 44.0e-3), "H2O": (1, 18.0e-3)}
+    ro = create_radiation_options(config, species, nlyr=6, ncol=1)
+    assert ro.bands == ("B1", "B2")
+    b1 = ro.band_options[0]
+    assert b1.solver_name == "disort"
+    assert len(b1.ck_weights) == ng
+    assert "planck" in b1.disort.flags
+
+    rad = Radiation(ro, dtype=jnp.float64)
+    conc = jnp.ones((1, 6, 2), jnp.float64)
+    dz = jnp.full((6,), 1000.0, jnp.float64)
+    atm = dict(pres=jnp.full((1, 6), 1.0e5, jnp.float64),
+               temp=jnp.full((1, 6), 260.0, jnp.float64))
+    bc = dict(albedo=jnp.zeros((ng, 1)), btemp=jnp.full((ng, 1), 280.0))
+    total = rad.forward(conc, dz, bc, atm)
+    assert total.shape == (1, 7, 2)
+    assert np.all(np.isfinite(np.asarray(total)))
+    # two thermal bands with emitting surface: upward flux at TOA positive
+    assert float(total[0, -1, 0]) > 0
+
+
+def test_spherical_flux_correction_matches_reference_loop():
+    from pyharp_tpu.utils.spherical import spherical_flux_correction
+
+    rng = np.random.default_rng(1)
+    nx1 = 7
+    flx = rng.uniform(1, 2, (3, nx1))
+    x1f = np.sort(rng.uniform(0, 10, nx1))
+    area = rng.uniform(1, 2, (3, nx1))
+    vol = rng.uniform(0.1, 1, (3, nx1))
+
+    # reference in-place loop (spherical_flux_correction.cpp:3-18)
+    want = flx.copy()
+    flx_iu = want[:, nx1 - 1].copy()
+    for i in range(nx1 - 2, -1, -1):
+        dx1f = x1f[i + 1] - x1f[i]
+        volh = (flx_iu - want[:, i]) / dx1f * vol[:, i]
+        flx_iu = want[:, i].copy()
+        want[:, i] = (want[:, i + 1] * area[:, i + 1] - volh) / area[:, i]
+
+    got = spherical_flux_correction(jnp.asarray(flx), jnp.asarray(x1f),
+                                    jnp.asarray(area), jnp.asarray(vol))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+
+def test_direction_parsing():
+    from pyharp_tpu.utils.directions import (
+        parse_radiation_direction, parse_radiation_directions,
+        get_direction_grids)
+
+    d = parse_radiation_direction("(60., 30.)")
+    np.testing.assert_allclose(d, [0.5, np.pi / 6], atol=1e-12)
+    ds = parse_radiation_directions("(0., 0.) (60., 30.) (60., 30.0001)")
+    assert ds.shape == (3, 2)
+    uphi, umu = get_direction_grids(ds)
+    assert len(umu) == 2   # cos(0)=1 and cos(60)=0.5
+    assert len(uphi) == 2  # 0 and pi/6 (dup within 1e-3 dropped)
