@@ -76,7 +76,9 @@ def _lower_integral_scaled(x):
 def _cumulative_fraction(x):
     """F(x) = (15/pi^4) int_0^x v^3/(e^v-1) dv, all x >= 0 (static branches)."""
     xs = jnp.clip(x, 0.0, _XCUT)          # safe arg for the power branch
-    xl = jnp.maximum(x, _XCUT)            # safe arg for the exp branch
+    # upper clamp: beyond x ~ 80 the tail integral underflows to 0 exactly;
+    # without it x**3 overflows float32 for extreme c2*nu/T (e.g. T -> 0)
+    xl = jnp.clip(x, _XCUT, 80.0)
     lo = _lower_integral_scaled(xs)
     hi = 1.0 - _upper_integral_scaled(xl)
     return jnp.where(x < _XCUT, lo, hi)
