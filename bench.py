@@ -68,7 +68,7 @@ def main():
 
     backend = jax.default_backend()
     # size the batch to the platform (HBM-fitting on one v5e chip)
-    ncol = 2048 if backend != "cpu" else 128
+    ncol = 8192 if backend != "cpu" else 128
 
     step, args = build_problem(ncol)
     out = jax.block_until_ready(step(*args))  # compile + warm

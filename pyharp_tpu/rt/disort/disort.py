@@ -150,43 +150,37 @@ class Disort:
         opts = self.options
         dtype = prop.dtype
         nwave, ncol, nlyr, nprop = prop.shape
+        Bflat = nwave * ncol
+        L = nlyr
         planck_on = self.options.has("planck")
 
-        # ---- unpack, flip to top-down layer order ----
-        tau = jnp.flip(prop[..., index.IEX], axis=-1)
-        ssa = (jnp.flip(prop[..., index.ISS], axis=-1)
+        # ---- batch-last internal layout: (L, nprop, B), top-down layers ----
+        P = jnp.transpose(prop.reshape(Bflat, nlyr, nprop), (1, 2, 0))
+        P = jnp.flip(P, axis=0)
+        tau = jnp.maximum(P[:, index.IEX], 0.0)                 # (L, B)
+        ssa = (jnp.clip(P[:, index.ISS], 0.0, 1.0)
                if nprop > 1 else jnp.zeros_like(tau))
-        if nprop > 2:
-            pmom = jnp.flip(prop[..., index.IPM:], axis=-2)
-        else:
-            pmom = jnp.zeros(tau.shape + (0,), dtype)
+        pmom = P[:, index.IPM:]                                  # (L, nmom, B)
 
-        tau = jnp.maximum(tau, 0.0)
-        ssa = jnp.clip(ssa, 0.0, 1.0)
+        def bc_get(name, default):
+            v = jnp.asarray(bc.get(name, default), dtype)
+            return jnp.broadcast_to(v, (nwave, ncol)).astype(dtype).reshape(Bflat)
 
-        fbeam = jnp.broadcast_to(
-            jnp.asarray(bc.get("fbeam", jnp.zeros((), dtype)), dtype),
-            (nwave, ncol)).astype(dtype)
-        umu0 = jnp.broadcast_to(
-            jnp.asarray(bc.get("umu0", jnp.ones((), dtype)), dtype),
-            (nwave, ncol)).astype(dtype)
-        albedo = jnp.broadcast_to(
-            jnp.asarray(bc.get("albedo", jnp.zeros((), dtype)), dtype),
-            (nwave, ncol)).astype(dtype)
-        fisot = jnp.broadcast_to(
-            jnp.asarray(bc.get("fisot", jnp.zeros((), dtype)), dtype),
-            (nwave, ncol)).astype(dtype)
+        fbeam = bc_get("fbeam", 0.0)
+        umu0 = bc_get("umu0", 1.0)
+        albedo = bc_get("albedo", 0.0)
+        fisot = bc_get("fisot", 0.0)
 
         # ---- delta-M scaling (cdisort's DELTAM; no-op for zero moments) ----
-        if opts.deltam and pmom.shape[-1] >= self.nstr:
-            f = pmom[..., self.nstr - 1]
+        if opts.deltam and pmom.shape[1] >= self.nstr:
+            f = pmom[:, self.nstr - 1]
         else:
             f = jnp.zeros_like(tau)
         one = jnp.asarray(1.0, dtype)
         tau_s = (one - ssa * f) * tau
         ssa_s = ssa * (one - f) / (one - ssa * f)
-        if pmom.shape[-1] > 0:
-            pmom_s = (pmom - f[..., None]) / (one - f[..., None])
+        if pmom.shape[1] > 0:
+            pmom_s = (pmom - f[:, None]) / (one - f[:, None])
         else:
             pmom_s = pmom
 
@@ -194,45 +188,49 @@ class Disort:
         dither = _dither_for(dtype)
         ssa_s = jnp.clip(ssa_s, 0.0, 1.0 - dither)
 
-        # cumulative optical depth (top-down), scaled and unscaled
-        zeros1 = jnp.zeros((nwave, ncol, 1), dtype)
-        taucum_s = jnp.concatenate(
-            [zeros1, jnp.cumsum(tau_s, axis=-1)], axis=-1)  # (...,L+1)
-        taucum_u = jnp.concatenate(
-            [zeros1, jnp.cumsum(tau, axis=-1)], axis=-1)
+        # cumulative optical depth at levels (top-down), scaled and unscaled
+        zeros1 = jnp.zeros((1, Bflat), dtype)
+        taucum_s = jnp.concatenate([zeros1, jnp.cumsum(tau_s, axis=0)], axis=0)
+        taucum_u = jnp.concatenate([zeros1, jnp.cumsum(tau, axis=0)], axis=0)
 
         # ---- thermal (Planck) source coefficients ----
         if planck_on:
             if temf is None:
                 raise ValueError("planck flag requires temf level temperatures")
-            btemp = jnp.broadcast_to(
+            btemp2 = jnp.broadcast_to(
                 jnp.asarray(bc.get("btemp", jnp.zeros((), dtype)), dtype),
-                (nwave, ncol)).astype(dtype)
-            ttemp = jnp.broadcast_to(
+                (nwave, ncol))
+            ttemp2 = jnp.broadcast_to(
                 jnp.asarray(bc.get("ttemp", jnp.zeros((), dtype)), dtype),
-                (nwave, ncol)).astype(dtype)
-            temis = jnp.broadcast_to(
+                (nwave, ncol))
+            temis2 = jnp.broadcast_to(
                 jnp.asarray(bc.get("temis", jnp.zeros((), dtype)), dtype),
-                (nwave, ncol)).astype(dtype)
-            # temf: (ncol, nlvl) bottom-up -> top-down levels
-            tlev = jnp.flip(jnp.asarray(temf, dtype), axis=-1)[None, :, :]
+                (nwave, ncol))
+            # temf: (ncol, nlvl) bottom-up -> top-down levels (nlvl, ncol)
+            tlev = jnp.flip(jnp.asarray(temf, dtype), axis=-1).T
             wnlo, wnhi = self._band_edges(dtype)
             if wnlo is None:
-                blev = planck_total(tlev) * jnp.ones((nwave, 1, 1), dtype)
-                bsurf = planck_total(btemp)
-                btop = temis * planck_total(ttemp)
+                blev = jnp.broadcast_to(
+                    planck_total(tlev)[:, None, :], (L + 1, nwave, ncol))
+                bsurf = planck_total(btemp2)
+                btop2 = temis2 * planck_total(ttemp2)
             else:
-                wl = wnlo[:, None, None]
-                wu = wnhi[:, None, None]
-                blev = planck_band(tlev, wl, wu)  # (nwave, ncol, nlvl)
-                bsurf = planck_band(btemp, wnlo[:, None], wnhi[:, None])
-                btop = temis * planck_band(ttemp, wnlo[:, None], wnhi[:, None])
-            dt = taucum_s[..., 1:] - taucum_s[..., :-1]
-            b_top_lay = blev[..., :-1]
-            slope = jnp.where(dt > 1e-20, (blev[..., 1:] - b_top_lay) / jnp.maximum(dt, 1e-20), 0.0)
+                blev = planck_band(tlev[:, None, :], wnlo[None, :, None],
+                                   wnhi[None, :, None])  # (nlvl, nwave, ncol)
+                bsurf = planck_band(btemp2, wnlo[:, None], wnhi[:, None])
+                btop2 = temis2 * planck_band(ttemp2, wnlo[:, None],
+                                             wnhi[:, None])
+            blev = blev.reshape(L + 1, Bflat)
+            bsurf = bsurf.reshape(Bflat)
+            btop = btop2.reshape(Bflat)
+            dt = taucum_s[1:] - taucum_s[:-1]
+            b_top_lay = blev[:-1]
+            slope = jnp.where(dt > 1e-20,
+                              (blev[1:] - b_top_lay) / jnp.maximum(dt, 1e-20),
+                              0.0)
         else:
-            bsurf = jnp.zeros((nwave, ncol), dtype)
-            btop = jnp.zeros((nwave, ncol), dtype)
+            bsurf = jnp.zeros((Bflat,), dtype)
+            btop = jnp.zeros((Bflat,), dtype)
             b_top_lay = jnp.zeros_like(tau)
             slope = jnp.zeros_like(tau)
 
@@ -241,80 +239,70 @@ class Disort:
         N = self.nstr // 2
         mu = jnp.asarray(ang.mu, dtype)
         w = jnp.asarray(ang.w, dtype)
-        dtau_s = taucum_s[..., 1:] - taucum_s[..., :-1]
+        dtau_s = taucum_s[1:] - taucum_s[:-1]           # (L, B)
 
-        sol, Vfull, Ufull = _solver.homogeneous_solution(ssa_s, pmom_s, dtau_s, ang)
+        sol, Vfull, Ufull = _solver.homogeneous_solution(
+            ssa_s, pmom_s, dtau_s, ang)
 
-        beam_on = jnp.any(fbeam > 0)
         zp, zm = _solver.beam_particular(
-            sol, Vfull, Ufull, ssa_s, pmom_s, fbeam, umu0, ang
-        )
+            sol, Vfull, Ufull, ssa_s, pmom_s, fbeam, umu0, ang)
         # beam attenuation at layer tops/bottoms (scaled tau inside solver)
-        att_top = jnp.exp(-taucum_s[..., :-1] / umu0[..., None])
-        att_bot = jnp.exp(-taucum_s[..., 1:] / umu0[..., None])
+        att_top = jnp.exp(-taucum_s[:-1] / umu0[None])   # (L, B)
+        att_bot = jnp.exp(-taucum_s[1:] / umu0[None])
         y0p, y0m, y1 = _solver.thermal_particular(
-            Vfull, Ufull, ssa_s, b_top_lay, slope, ang
-        )
+            Vfull, Ufull, ssa_s, b_top_lay, slope, ang)
 
-        ptop_p = zp * att_top[..., None] + y0p
-        ptop_m = zm * att_top[..., None] + y0m
-        pbot_p = zp * att_bot[..., None] + y0p + y1 * dtau_s[..., None]
-        pbot_m = zm * att_bot[..., None] + y0m + y1 * dtau_s[..., None]
+        ptop_p = zp * att_top[None] + y0p                # (N, L, B)
+        ptop_m = zm * att_top[None] + y0m
+        pbot_p = zp * att_bot[None] + y0p + y1 * dtau_s[None]
+        pbot_m = zm * att_bot[None] + y0m + y1 * dtau_s[None]
 
         # ---- boundary right-hand sides ----
-        ftop = (fisot + btop)[..., None] * jnp.ones((N,), dtype)
+        ftop = jnp.broadcast_to((fisot + btop)[None, :], (N, Bflat))
         # bottom: I+ = alb/pi * mu0 F0 e^{-tauL/mu0} + 2 alb sum w mu I-
         #             + (1-alb) B(btemp)
-        att_L = jnp.exp(-taucum_s[..., -1] / umu0)
+        att_L = jnp.exp(-taucum_s[-1] / umu0)
         direct_refl = albedo / jnp.pi * umu0 * fbeam * att_L
         emit = (1.0 - albedo) * bsurf
-        pb_p = pbot_p[..., -1, :]
-        pb_m = pbot_m[..., -1, :]
+        pb_p = pbot_p[:, -1]                              # (N, B)
+        pb_m = pbot_m[:, -1]
         wmu = w * mu
-        refl_part = 2.0 * albedo * jnp.einsum("j,...j->...", wmu, pb_m)
-        bot_rhs = (direct_refl + emit + refl_part)[..., None] - pb_p
+        refl_part = 2.0 * albedo * jnp.einsum("j,jb->b", wmu, pb_m)
+        bot_rhs = (direct_refl + emit + refl_part)[None] - pb_p
 
         a, b = _solver.solve_bvp(
-            sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs, albedo, ang
-        )
+            sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs, albedo, ang)
 
         # ---- intensities at levels (quadrature angles), then fluxes ----
-        # level l < L: top of layer l ; level L: bottom of layer L-1
         gp, gm, E = sol.gp, sol.gm, sol.expd
 
-        def at_top(layer_arrs):
-            gpn, gmn, En, an, bn = layer_arrs
-            up = (jnp.einsum("...ik,...k->...i", gpn, an)
-                  + jnp.einsum("...ik,...k->...i", gmn, En * bn))
-            dn = (jnp.einsum("...ik,...k->...i", gmn, an)
-                  + jnp.einsum("...ik,...k->...i", gpn, En * bn))
-            return up, dn
+        def gdot(Gmat, vec):
+            return jnp.einsum("ikab,kab->iab", Gmat, vec)
 
-        up_t, dn_t = at_top((gp, gm, E, a, b))
-        up_lvl_top = up_t + ptop_p          # (..., L, N) levels 0..L-1
-        dn_lvl_top = dn_t + ptop_m
+        up_t = gdot(gp, a) + gdot(gm, E * b) + ptop_p    # (N, L, B) at tops
+        dn_t = gdot(gm, a) + gdot(gp, E * b) + ptop_m
 
-        gpL = gp[..., -1, :, :]
-        gmL = gm[..., -1, :, :]
-        EL = E[..., -1, :]
-        up_bot = (jnp.einsum("...ik,...k->...i", gpL, EL * a[..., -1, :])
-                  + jnp.einsum("...ik,...k->...i", gmL, b[..., -1, :]) + pb_p)
-        dn_bot = (jnp.einsum("...ik,...k->...i", gmL, EL * a[..., -1, :])
-                  + jnp.einsum("...ik,...k->...i", gpL, b[..., -1, :]) + pb_m)
+        gpL = gp[:, :, -1]                                # (N, N, B)
+        gmL = gm[:, :, -1]
+        EL = E[:, -1]
+        aL = a[:, -1]
+        bL = b[:, -1]
+        up_bot = (jnp.einsum("ikb,kb->ib", gpL, EL * aL)
+                  + jnp.einsum("ikb,kb->ib", gmL, bL) + pb_p)
+        dn_bot = (jnp.einsum("ikb,kb->ib", gmL, EL * aL)
+                  + jnp.einsum("ikb,kb->ib", gpL, bL) + pb_m)
 
-        up_all = jnp.concatenate([up_lvl_top, up_bot[..., None, :]], axis=-2)
-        dn_all = jnp.concatenate([dn_lvl_top, dn_bot[..., None, :]], axis=-2)
+        up_all = jnp.concatenate([up_t, up_bot[:, None]], axis=1)  # (N,L+1,B)
+        dn_all = jnp.concatenate([dn_t, dn_bot[:, None]], axis=1)
 
-        flup = 2.0 * jnp.pi * jnp.einsum("j,...lj->...l", wmu, up_all)
-        rfldn = 2.0 * jnp.pi * jnp.einsum("j,...lj->...l", wmu, dn_all)
+        flup = 2.0 * jnp.pi * jnp.einsum("j,jlb->lb", wmu, up_all)
+        rfldn = 2.0 * jnp.pi * jnp.einsum("j,jlb->lb", wmu, dn_all)
 
         # direct beam: reported with UNSCALED optical depth (DISORT's RFLDIR);
         # the delta-M forward-peak difference is folded into diffuse down so
         # the total downward flux stays exact.
-        rfldir_u = umu0[..., None] * fbeam[..., None] * jnp.exp(
-            -taucum_u / umu0[..., None])
-        rfldir_s = umu0[..., None] * fbeam[..., None] * jnp.exp(
-            -taucum_s / umu0[..., None])
+        rfldir_u = umu0[None] * fbeam[None] * jnp.exp(-taucum_u / umu0[None])
+        rfldir_s = umu0[None] * fbeam[None] * jnp.exp(-taucum_s / umu0[None])
         dn_total = rfldn + rfldir_s
         rfldn_rep = dn_total - rfldir_u
 
@@ -324,8 +312,10 @@ class Disort:
             up_all=up_all, dn_all=dn_all,
         )
 
-        flux = jnp.stack([flup, dn_total], axis=-1)  # (...,L+1,2) top-down
-        return jnp.flip(flux, axis=-2)               # bottom-up levels
+        # (L+1, B) pair -> reference layout (nwave, ncol, nlvl, 2), bottom-up
+        flux = jnp.stack([flup, dn_total], axis=-1)       # (L+1, B, 2)
+        flux = jnp.transpose(flux, (1, 0, 2)).reshape(nwave, ncol, L + 1, 2)
+        return jnp.flip(flux, axis=-2)
 
     # convenience accessors matching pydisort's API surface -----------------
 

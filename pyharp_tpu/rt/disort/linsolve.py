@@ -7,6 +7,9 @@ partial pivoting over the *static* matrix dimension: every operation is an
 elementwise/VPU op over the whole batch, with no per-problem control flow —
 the TPU-native inversion of cdisort's per-problem LINPACK calls (SGECO/SGESL,
 SURVEY.md section 2.3 item 1).
+
+Layout: matrix dims leading, batch trailing (see ``jacobi.py`` for why):
+``A`` is ``(n, n, *batch)``, ``b`` is ``(n, *batch)`` or ``(n, k, *batch)``.
 """
 
 from __future__ import annotations
@@ -18,56 +21,53 @@ def lu_solve(A, b):
     """Solve ``A x = b`` for batches of small square systems.
 
     Args:
-      A: ``(..., n, n)``.
-      b: ``(..., n)`` or ``(..., n, k)``.
+      A: ``(n, n, *batch)``.
+      b: ``(n, *batch)`` or ``(n, k, *batch)``.
 
     Returns:
       ``x`` with the same shape as ``b``.
     """
-    vec = b.ndim == A.ndim - 1
+    n = A.shape[0]
+    batch = A.shape[2:]
+    vec = b.ndim == len(batch) + 1
     if vec:
-        b = b[..., None]
-    n = A.shape[-1]
+        b = b[:, None]
+    k = b.shape[1]
     # augmented system keeps the row swaps cheap (single tensor)
-    M = jnp.concatenate([A, b.astype(A.dtype)], axis=-1)  # (..., n, n+k)
+    M = jnp.concatenate([A, b.astype(A.dtype)], axis=1)  # (n, n+k, *batch)
 
-    for k in range(n):
-        col = jnp.abs(M[..., :, k])
-        if k > 0:
-            mask = jnp.zeros((n,), col.dtype).at[:k].set(1.0)
-            col = jnp.where(mask.astype(bool), -1.0, col)
-        p = jnp.argmax(col, axis=-1)  # (...,) pivot row index >= k
+    for col in range(n):
+        mag = jnp.abs(M[:, col])                 # (n, *batch)
+        if col > 0:
+            mask = (jnp.arange(n) < col).reshape((n,) + (1,) * len(batch))
+            mag = jnp.where(mask, -1.0, mag)
+        p = jnp.argmax(mag, axis=0)              # (*batch,) pivot row >= col
 
-        # swap rows k and p (batched): gather row p, scatter row k into p
-        rowk = M[..., k, :]
-        rowp = jnp.take_along_axis(M, p[..., None, None], axis=-2)[..., 0, :]
-        M = M.at[..., k, :].set(rowp)
-        ridx = jnp.arange(n)
-        is_p = (ridx[..., :, None] == p[..., None, None]) & (
-            p[..., None, None] != k
-        )
-        M = jnp.where(is_p, rowk[..., None, :], M)
+        rowk = M[col]                            # (n+k, *batch)
+        rowp = jnp.take_along_axis(M, p[None, None], axis=0)[0]
+        M = M.at[col].set(rowp)
+        ridx = jnp.arange(n).reshape((n,) + (1,) * (M.ndim - 1))
+        is_p = (ridx == p[None, None]) & (p[None, None] != col)
+        M = jnp.where(is_p, rowk[None], M)
 
-        # eliminate below the pivot
-        pivot = M[..., k, k]
+        pivot = M[col, col]                      # (*batch,)
         inv = 1.0 / pivot
-        factors = M[..., :, k] * inv[..., None]          # (..., n)
-        below = (ridx > k).astype(M.dtype)
-        update = (factors * below)[..., :, None] * M[..., k, None, :]
+        factors = M[:, col] * inv[None]          # (n, *batch)
+        below = (jnp.arange(n) > col).reshape((n,) + (1,) * len(batch))
+        update = jnp.where(below, factors, 0.0)[:, None] * M[col][None]
         M = M - update
 
     # back substitution on the upper-triangular augmented system
-    x = M[..., :, n:]
-    U = M[..., :, :n]
+    x = M[:, n:]                                 # (n, k, *batch)
+    U = M[:, :n]
     out = jnp.zeros_like(x)
-    for k in range(n - 1, -1, -1):
-        acc = x[..., k, :]
-        if k < n - 1:
+    for row in range(n - 1, -1, -1):
+        acc = x[row]
+        if row < n - 1:
             acc = acc - jnp.einsum(
-                "...j,...jm->...m", U[..., k, k + 1:], out[..., k + 1:, :]
-            )
-        out = out.at[..., k, :].set(acc / U[..., k, k][..., None])
+                "j...,jm...->m...", U[row, row + 1:], out[row + 1:])
+        out = out.at[row].set(acc / U[row, row][None])
 
     if vec:
-        out = out[..., 0]
+        out = out[:, 0]
     return out

@@ -13,10 +13,18 @@ batch* of independent column problems as one XLA program:
 * beam particular solution        -> evaluated in the eigenbasis with
   resonance-clamped denominators (no extra LU);
 * thermal particular solution     -> two batched N x N linear solves;
-* layer-coupling boundary-value problem -> block-tridiagonal Thomas
+* layer-coupling boundary-value problem -> factored block-tridiagonal
   elimination as a ``lax.scan`` over layers, batched over (wave, col),
   with DISORT's scaled-exponential representation (every exponential
   decays, no overflow for thick layers).
+
+**Memory layout is batch-last** ("structure-of-arrays"): matrices are
+``(N, N, L, B)``, vectors ``(N, L, B)``, per-layer scalars ``(L, B)`` with
+``B = nwave * ncol`` flattened.  On TPU the minor-most axis maps to the
+128-wide vector lanes; batch-last turns every tiny-matrix operation into a
+perfectly vectorized lane op.  The batch-first alternative pads each
+trailing (4, 4) tile to (8, 128) — a measured 32x HBM blow-up that OOM'd
+production sizes.
 
 Notation (tau increases downward, mu in (0,1), I+ up / I- down):
 
@@ -28,15 +36,12 @@ Within layer n the general solution is the scaled expansion
     I+-(tau) = sum_k  a_k g+-_k exp(-lam_k (tau - tau_n))
              + sum_k  b_k g-+_k exp(-lam_k (tau_{n+1} - tau))
              + Z+- exp(-tau/mu0) + Y0+- + Y1 (tau - tau_n)
-
-All arrays carry leading batch dims ``(..., nlyr)`` / ``(..., nlyr, N)`` etc.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -50,30 +55,31 @@ _HI = lax.Precision.HIGHEST
 
 
 def _mm(a, b):
-    """Batched matmul at highest available precision."""
-    return jnp.einsum("...ij,...jk->...ik", a, b, precision=_HI)
+    """(N,N,L,B) x (N,N,L,B) matrix product over the leading dims."""
+    return jnp.einsum("ikab,kjab->ijab", a, b, precision=_HI)
 
 
 def _mv(a, v):
-    return jnp.einsum("...ij,...j->...i", a, v, precision=_HI)
+    """(N,N,L,B) x (N,L,B) -> (N,L,B)."""
+    return jnp.einsum("ikab,kab->iab", a, v, precision=_HI)
 
 
 class LayerSolution(NamedTuple):
-    """Per-layer homogeneous eigenstructure (batch dims ..., nlyr leading)."""
+    """Per-layer homogeneous eigenstructure (batch-last layout)."""
 
-    lam: jnp.ndarray   # (..., L, N) positive eigenvalues
-    gp: jnp.ndarray    # (..., L, N, N) columns: upward components of +lam modes
-    gm: jnp.ndarray    # (..., L, N, N) columns: downward components of +lam modes
-    expd: jnp.ndarray  # (..., L, N) exp(-lam * dtau)
+    lam: jnp.ndarray   # (N, L, B) positive eigenvalues
+    gp: jnp.ndarray    # (N, N, L, B) [i, k]: upward components of +lam modes
+    gm: jnp.ndarray    # (N, N, L, B) [i, k]: downward components of +lam modes
+    expd: jnp.ndarray  # (N, L, B) exp(-lam * dtau)
 
 
 class StaticAngles(NamedTuple):
     """Compile-time quadrature / Legendre constants for one azimuthal mode."""
 
-    mu: np.ndarray       # (N,)
-    w: np.ndarray        # (N,)
+    mu: np.ndarray          # (N,)
+    w: np.ndarray           # (N,)
     lam_tables: np.ndarray  # (nmom+1, N) normalized assoc. Legendre at nodes
-    parity: np.ndarray   # (nmom+1,) (-1)^(l-m)
+    parity: np.ndarray      # (nmom+1,) (-1)^(l-m)
     m: int
     nstr: int
 
@@ -89,7 +95,7 @@ def make_static_angles(nstr: int, nmom: int, m: int) -> StaticAngles:
 
 def _phase_outer_tables(ang: StaticAngles, dtype):
     """Static tables: (2l+1) Lam_l(mu_i) Lam_l(mu_j) split by parity of l-m."""
-    lam = ang.lam_tables                     # (L+1, N)
+    lam = ang.lam_tables                     # (G, N)
     ls = np.arange(lam.shape[0])
     outer = (2 * ls + 1)[:, None, None] * lam[:, :, None] * lam[:, None, :]
     even = ((ls - ang.m) % 2 == 0)[:, None, None]
@@ -100,43 +106,43 @@ def _phase_outer_tables(ang: StaticAngles, dtype):
 
 
 def _moment_coeffs(ssa, pmom, ang: StaticAngles, dtype):
-    """g_l coefficients for l = m..lmax (zeros below m), g_0 = 1.
+    """g_l coefficients for l = 0..lmax, g_0 = 1; zeros below l = m.
 
-    pmom holds moments g_1..g_nmom (may be zero-width).
+    Args:
+      ssa: (L, B); pmom: (L, nmom, B) holding g_1..g_nmom (may be 0-width).
+    Returns (L, G, B) with G = lmax+1.
     """
     lmax = ang.lam_tables.shape[0] - 1
-    batch = ssa.shape
-    ones = jnp.ones(batch + (1,), dtype)
-    nmom = pmom.shape[-1]
+    L, B = ssa.shape
+    ones = jnp.ones((L, 1, B), dtype)
+    nmom = pmom.shape[1]
     if nmom >= lmax:
-        g = jnp.concatenate([ones, pmom[..., :lmax]], axis=-1)
+        g = jnp.concatenate([ones, pmom[:, :lmax]], axis=1)
     else:
-        pad = jnp.zeros(batch + (lmax - nmom,), dtype)
-        g = jnp.concatenate([ones, pmom, pad], axis=-1)
+        pad = jnp.zeros((L, lmax - nmom, B), dtype)
+        g = jnp.concatenate([ones, pmom, pad], axis=1)
     if ang.m > 0:
         mask = jnp.asarray(
             (np.arange(lmax + 1) >= ang.m).astype(np.float64), dtype
-        )
+        )[None, :, None]
         g = g * mask
-    return g  # (..., lmax+1)
+    return g  # (L, G, B)
 
 
 def homogeneous_solution(
     ssa, pmom, dtau, ang: StaticAngles
 ) -> tuple[LayerSolution, jnp.ndarray, jnp.ndarray]:
-    """Eigenstructure of every layer (batched).
+    """Eigenstructure of every layer (batched, batch-last layout).
 
     Args:
-      ssa:  (..., L) single-scattering albedo (already dithered away from 1).
-      pmom: (..., L, nmom) phase moments g_1..g_nmom (delta-M scaled upstream).
-      dtau: (..., L) layer optical thickness.
+      ssa:  (L, B) single-scattering albedo (already dithered away from 1).
+      pmom: (L, nmom, B) phase moments g_1..g_nmom (delta-M scaled upstream).
+      dtau: (L, B) layer optical thickness.
       ang:  static angle tables for this azimuthal mode.
 
     Returns:
-      (LayerSolution, Smat, invS_cols) where ``Smat`` is the matrix of
-      s = g+ + g- eigenvectors (columns), needed by the beam particular
-      solution in the eigenbasis, and U_mat the (I - A - B) matrix used by
-      the thermal particular solution.
+      (LayerSolution, Vfull, Ufull): V = I - A + B and U = I - A - B, the
+      reduced scattering operators reused by the particular solutions.
     """
     dtype = ssa.dtype
     N = ang.mu.shape[0]
@@ -144,22 +150,23 @@ def homogeneous_solution(
     w = jnp.asarray(ang.w, dtype)
     even_tab, odd_tab = _phase_outer_tables(ang, dtype)
 
-    g = _moment_coeffs(ssa, pmom, ang, dtype)            # (..., L, lmax+1)
-    half_ssa = 0.5 * ssa[..., None, None]
+    g = _moment_coeffs(ssa, pmom, ang, dtype)            # (L, G, B)
 
     # D+ +- D- split by parity: Se = sum_{l-m even}, So = sum_{l-m odd}
-    Se = jnp.einsum("...l,lij->...ij", g, even_tab, precision=_HI)
-    So = jnp.einsum("...l,lij->...ij", g, odd_tab, precision=_HI)
+    Se = jnp.einsum("agb,gij->ijab", g, even_tab, precision=_HI)
+    So = jnp.einsum("agb,gij->ijab", g, odd_tab, precision=_HI)
 
     sqw = jnp.sqrt(w)
     sqm = jnp.sqrt(mu)
-    eye = jnp.eye(N, dtype=dtype)
+    eye = jnp.eye(N, dtype=dtype)[:, :, None, None]
+    ssa_b = ssa[None, None, :, :]                         # (1,1,L,B)
 
     # Uhat = M^-1/2 (I - w0 W^1/2 Se W^1/2) M^-1/2   (symmetric, ~SPD)
     # Vhat = M^-1/2 (I - w0 W^1/2 So W^1/2) M^-1/2
     def hat(S):
-        core = eye - 2.0 * half_ssa * (sqw[:, None] * S * sqw[None, :])
-        return core / (sqm[:, None] * sqm[None, :])
+        core = eye - ssa_b * (sqw[:, None, None, None] * S
+                              * sqw[None, :, None, None])
+        return core / (sqm[:, None, None, None] * sqm[None, :, None, None])
 
     Uhat = hat(Se)
     Vhat = hat(So)
@@ -168,36 +175,35 @@ def homogeneous_solution(
     ew, Q = jacobi_eigh(Uhat)
     ew = jnp.maximum(ew, jnp.asarray(1e-12, dtype))
     sq = jnp.sqrt(ew)
-    Uh = jnp.einsum("...ik,...k,...jk->...ij", Q, sq, Q, precision=_HI)
+    Uh = jnp.einsum("ikab,kab,jkab->ijab", Q, sq, Q, precision=_HI)
 
     K = _mm(Uh, _mm(Vhat, Uh))                     # symmetric
     lam2, Y = jacobi_eigh(K)
     lam2 = jnp.maximum(lam2, jnp.asarray(1e-12, dtype))
-    lam = jnp.sqrt(lam2)
+    lam = jnp.sqrt(lam2)                           # (N, L, B)
 
     # d-eigenvectors of (alpha-beta)(alpha+beta): d = M^-1/2 W^-1/2 Uh Y
     X = _mm(Uh, Y)
-    D = X / (sqm[:, None] * sqw[:, None])           # (..., N, N) columns d_k
+    D = X / (sqm * sqw)[:, None, None, None]
 
     # s = -(1/lam) M^-1 V d,  V = I - (w0/2)(D+ - D-) W = I - w0 So W
-    Vfull = eye - 2.0 * half_ssa * (So * w[None, :])
-    S = -_mm(Vfull, D) / (mu[:, None] * lam[..., None, :])
+    Vfull = eye - ssa_b * (So * w[None, :, None, None])
+    S = -_mm(Vfull, D) / (mu[:, None, None, None] * lam[None, :, :, :])
 
     gp = 0.5 * (S + D)
     gm = 0.5 * (S - D)
 
     # normalize each mode (pair) to unit max magnitude for conditioning
-    scale = jnp.maximum(
-        jnp.max(jnp.abs(gp), axis=-2), jnp.max(jnp.abs(gm), axis=-2)
-    )
-    scale = jnp.maximum(scale, jnp.asarray(1e-30, dtype))[..., None, :]
+    scale = jnp.maximum(jnp.max(jnp.abs(gp), axis=0),
+                        jnp.max(jnp.abs(gm), axis=0))
+    scale = jnp.maximum(scale, jnp.asarray(1e-30, dtype))[None]
     gp = gp / scale
     gm = gm / scale
 
-    expd = jnp.exp(-lam * dtau[..., None])
+    expd = jnp.exp(-lam * dtau[None])
 
     # U = I - (w0/2)(D+ + D-) W = I - w0 Se W (for thermal particular)
-    Ufull = eye - 2.0 * half_ssa * (Se * w[None, :])
+    Ufull = eye - ssa_b * (Se * w[None, :, None, None])
 
     return LayerSolution(lam, gp, gm, expd), Vfull, Ufull
 
@@ -206,10 +212,10 @@ def beam_particular(
     sol: LayerSolution,
     Vfull,
     Ufull,
-    ssa,
-    pmom,
-    fbeam,
-    mu0,
+    ssa,      # (L, B)
+    pmom,     # (L, nmom, B)
+    fbeam,    # (B,)
+    mu0,      # (B,)
     ang: StaticAngles,
 ):
     """Beam-source particular solution Z+-, in the homogeneous eigenbasis.
@@ -222,52 +228,49 @@ def beam_particular(
     beam/eigenvalue resonance (mu0 -> 1/lam_k) is regularized explicitly
     instead of through LU pivots (cdisort leaves this to SGECO luck).
 
-    Args:
-      fbeam, mu0: (...,) batch arrays (no layer axis) — beam flux [W/m^2] and
-        cosine of solar zenith.
-      ssa/pmom carry the layer axis; returns Z+,Z- of shape (..., L, N).
+    Returns (Z+, Z-), each (N, L, B).
     """
     dtype = ssa.dtype
     mu = jnp.asarray(ang.mu, dtype)
-    g = _moment_coeffs(ssa, pmom, ang, dtype)          # (..., L, lmax+1)
+    g = _moment_coeffs(ssa, pmom, ang, dtype)          # (L, G, B)
     lmax = ang.lam_tables.shape[0] - 1
 
-    # Lam_l(mu0): traced (mu0 is data); add the layer axis by broadcasting
-    lam0 = lepoly(mu0, ang.m, lmax)                    # (lmax+1, ...)
-    lam0 = jnp.moveaxis(lam0, 0, -1)                   # (..., lmax+1)
+    # Lam_l(mu0): traced (mu0 is data) -> (G, B)
+    lam0 = lepoly(mu0, ang.m, lmax)
     parity = jnp.asarray(ang.parity, dtype)
 
-    lam_tab = jnp.asarray(ang.lam_tables, dtype)       # (lmax+1, N)
+    lam_tab = jnp.asarray(ang.lam_tables, dtype)       # (G, N)
     kappa = (2.0 if ang.m > 0 else 1.0) / (4.0 * jnp.pi)
-    # q+- = kappa w0 F0 sum_l (2l+1) g_l Lam_l(+-mu_i) Lam_l(-mu0)
     ls = jnp.asarray(np.arange(lmax + 1), dtype)
-    coef = g * ((2 * ls + 1) * parity) * lam0[..., None, :]  # (..., L, lmax+1)
-    qp = kappa * jnp.einsum("...l,li->...i", coef, lam_tab, precision=_HI)
-    qm = kappa * jnp.einsum(
-        "...l,li->...i", coef * parity, lam_tab, precision=_HI
-    )
-    amp = (ssa * fbeam[..., None])[..., None]          # (..., L, 1)
+    # q+- = kappa w0 F0 sum_l (2l+1) g_l Lam_l(+-mu_i) Lam_l(-mu0)
+    coef = g * ((2 * ls + 1) * parity)[None, :, None] * lam0[None, :, :]
+    qp = kappa * jnp.einsum("agb,gi->iab", coef, lam_tab, precision=_HI)
+    qm = kappa * jnp.einsum("agb,gi->iab",
+                            coef * parity[None, :, None], lam_tab,
+                            precision=_HI)
+    amp = (ssa * fbeam[None, :])[None]                 # (1, L, B)
     qp = qp * amp
     qm = qm * amp
     qs = qp + qm
     qd = qp - qm
 
     # rhs' = M^-1 V M^-1 qs - M^-1 qd / mu0
-    rhs = _mv(Vfull, qs / mu[..., :]) / mu - qd / (mu * mu0[..., None, None])
+    mu_c = mu[:, None, None]
+    rhs = _mv(Vfull, qs / mu_c) / mu_c - qd / (mu_c * mu0[None, None, :])
 
     # expand in s-eigenbasis: solve S c = rhs, scale by 1/(lam^2 - 1/mu0^2)
-    S = sol.gp + sol.gm                                # (..., L, N, N)
-    c = lu_solve(S, rhs)
-    inv_mu0_sq = 1.0 / (mu0 * mu0)[..., None, None]
+    S = sol.gp + sol.gm                                # (N, N, L, B)
+    c = lu_solve(S, rhs)                               # (N, L, B)
+    inv_mu0_sq = (1.0 / (mu0 * mu0))[None, None, :]
     denom = sol.lam**2 - inv_mu0_sq
     eps = jnp.asarray(1e-4 if dtype == jnp.float32 else 1e-9, dtype)
     floor = eps * (sol.lam**2 + inv_mu0_sq)
     denom = jnp.where(jnp.abs(denom) < floor,
                       jnp.where(denom < 0, -floor, floor), denom)
-    zs = _mv(S, c / denom)
+    zs = jnp.einsum("ikab,kab->iab", S, c / denom, precision=_HI)
 
     # zd = -mu0 M^-1 (U zs - qs)
-    zd = -mu0[..., None, None] * (_mv(Ufull, zs) - qs) / mu
+    zd = -mu0[None, None, :] * (_mv(Ufull, zs) - qs) / mu_c
     zp = 0.5 * (zs + zd)
     zm = 0.5 * (zs - zd)
     return zp, zm
@@ -281,146 +284,140 @@ def thermal_particular(Vfull, Ufull, ssa, b_top, b_slope, ang: StaticAngles):
 
         Y1+- = b_slope h,   Y0+- = b_top h +- y0d / 2.
 
-    Returns (Y0p, Y0m, Y1) each (..., L, N).
+    Args: ssa, b_top, b_slope all (L, B).
+    Returns (Y0p, Y0m, Y1) each (N, L, B).
     """
     dtype = ssa.dtype
     mu = jnp.asarray(ang.mu, dtype)
     N = mu.shape[0]
-    e = jnp.ones(ssa.shape + (N,), dtype)
-    h = lu_solve(Ufull, (1.0 - ssa)[..., None] * e)
-    y1 = b_slope[..., None] * h
-    y0d = lu_solve(Vfull, 2.0 * mu * y1)
-    y0p = b_top[..., None] * h + 0.5 * y0d
-    y0m = b_top[..., None] * h - 0.5 * y0d
+    L, B = ssa.shape
+    e = jnp.ones((N, L, B), dtype)
+    h = lu_solve(Ufull, (1.0 - ssa)[None] * e)
+    y1 = b_slope[None] * h
+    y0d = lu_solve(Vfull, 2.0 * mu[:, None, None] * y1)
+    y0p = b_top[None] * h + 0.5 * y0d
+    y0m = b_top[None] * h - 0.5 * y0d
     return y0p, y0m, y1
 
 
 def solve_bvp(
     sol: LayerSolution,
-    ptop_p, ptop_m,      # particular I+/I- at each layer top    (..., L, N)
-    pbot_p, pbot_m,      # particular I+/I- at each layer bottom (..., L, N)
-    ftop,                # (..., N) downward intensity incident at TOA
-    bot_rhs,             # (..., N) bottom-boundary rhs (emission+reflection of
-                         #          direct beam and particular, precomputed)
-    albedo,              # (...,) Lambertian albedo (0 for m > 0)
+    ptop_p, ptop_m,      # particular I+/I- at each layer top    (N, L, B)
+    pbot_p, pbot_m,      # particular I+/I- at each layer bottom (N, L, B)
+    ftop,                # (N, B) downward intensity incident at TOA
+    bot_rhs,             # (N, B) bottom-boundary rhs (emission + reflection
+                         #        of direct beam and particular, precomputed)
+    albedo,              # (B,) Lambertian albedo (0 for m > 0)
     ang: StaticAngles,
 ):
-    """Block-tridiagonal Thomas solve for the layer coefficients (a_n, b_n).
+    """Factored block-tridiagonal elimination for coefficients (a_n, b_n).
 
     Row-block n pairs [I- continuity at interface n-1 ; I+ continuity at
     interface n], with the top/bottom boundary conditions taking the borders.
     This pairing keeps every diagonal block nonsingular in both the
     thick-layer (E -> 0) and zero-thickness (E -> 1) limits.
 
-    Returns (a, b): (..., L, N) each.
+    The off-diagonal blocks are rank-structured:
+
+        A_n = [[R_{n-1}], [0]]       R_n = [gm E, gp]_n   (N x 2N)
+        C_n = [[0], [-D_{n+1}]]      D_n = [gp, gm E]_n   (N x 2N)
+
+    so the forward scan carries only (R, P = M^-1 Csel, g) and rebuilds each
+    diagonal block in-body from the per-layer (gp, gm, E) triple — a fraction
+    of the HBM traffic of materializing (L, 2N, 2N) block tensors, which
+    dominated runtime at production sizes.
+
+    Returns (a, b): (N, L, B) each.
     """
     dtype = sol.lam.dtype
-    L = sol.lam.shape[-2]
-    N = ang.mu.shape[0]
+    N, L, B = sol.lam.shape
     mu = jnp.asarray(ang.mu, dtype)
     w = jnp.asarray(ang.w, dtype)
-
-    gp, gm, E = sol.gp, sol.gm, sol.expd
-    Em = E[..., None, :]  # scale columns
-
-    batch = jnp.broadcast_shapes(
-        sol.lam.shape[:-2], ftop.shape[:-1], albedo.shape
-    )
-
-    def bc(x, shape):
-        return jnp.broadcast_to(x, batch + shape)
-
-    # --- assemble block rows (layer axis L kept explicit, then scanned) ---
-    # upper half of row n (n>=1): I- continuity at interface n-1
-    #   [gm E, gp]_{n-1} x_{n-1} - [gm, gp E]_n x_n = Pt-_n - Pb-_{n-1}
-    # lower half of row n (n<=L-2): I+ continuity at interface n
-    #   [gp E, gm]_n x_n - [gp, gm E]_{n+1} x_{n+1} = Pt+_{n+1} - Pb+_n
-    A_up = jnp.concatenate([gm * Em, gp], axis=-1)              # (...,L,N,2N)
-    B_up = -jnp.concatenate([gm, gp * Em], axis=-1)
-    B_lo = jnp.concatenate([gp * Em, gm], axis=-1)
-    C_lo = -jnp.concatenate([gp, gm * Em], axis=-1)
-
-    # row 0 upper half: top BC  I-(0) = ftop:  gm a0 + gp E b0
-    B_up0 = jnp.concatenate([gm[..., 0, :, :], gp[..., 0, :, :] * Em[..., 0, :, :]],
-                            axis=-1)
-    # row L-1 lower half: bottom BC with Lambertian reflection
-    #   K+ = gp - 2 alb 1 (w mu)^T gm ; K- = gm - 2 alb 1 (w mu)^T gp
     wmu = w * mu
-    alb2 = 2.0 * albedo[..., None, None]
-    gpL = gp[..., L - 1, :, :]
-    gmL = gm[..., L - 1, :, :]
-    refl_p = jnp.einsum("j,...jk->...k", wmu, gmL, precision=_HI)
-    refl_m = jnp.einsum("j,...jk->...k", wmu, gpL, precision=_HI)
-    Kp = gpL - alb2 * refl_p[..., None, :]
-    Km = gmL - alb2 * refl_m[..., None, :]
-    B_loL = jnp.concatenate([Kp * Em[..., L - 1, :, :], Km], axis=-1)
 
-    # stitch per-layer blocks:
-    B_up_all = jnp.concatenate(
-        [bc(B_up0, (N, 2 * N))[..., None, :, :], B_up[..., 1:, :, :]], axis=-3
-    )
-    B_lo_all = jnp.concatenate(
-        [B_lo[..., : L - 1, :, :], bc(B_loL, (N, 2 * N))[..., None, :, :]],
-        axis=-3,
-    )
-    Bblk = jnp.concatenate([B_up_all, B_lo_all], axis=-2)       # (...,L,2N,2N)
+    gp, gm, E = sol.gp, sol.gm, sol.expd   # (N,N,L,B), (N,L,B)
 
-    A_up_all = jnp.concatenate(
-        [jnp.zeros(batch + (1, N, 2 * N), dtype), A_up[..., : L - 1, :, :]],
-        axis=-3,
-    )
-    Ablk = jnp.concatenate([A_up_all, jnp.zeros_like(A_up_all)], axis=-2)
-
-    C_lo_all = jnp.concatenate([C_lo[..., 1:, :, :],
-                                jnp.zeros(batch + (1, N, 2 * N), dtype)], axis=-3)
-    Cblk = jnp.concatenate([jnp.zeros_like(C_lo_all), C_lo_all], axis=-2)
-
-    # rhs
-    dPm = ptop_m - jnp.concatenate(
-        [jnp.zeros(batch + (1, N), dtype), pbot_m[..., : L - 1, :]], axis=-2
-    )  # row n upper: Pt-_n - Pb-_{n-1}; row 0 handled below
+    # rhs blocks (2N, L, B):
+    # row n top    = Pt-_n - Pb-_{n-1}; row 0 top = Pt-_0 - ftop (sign flipped
+    #                so every top row block is -T-_n)
+    # row n bottom = Pt+_{n+1} - Pb+_n; row L-1 bottom = bot_rhs
     d_up = jnp.concatenate(
-        [bc(ftop - ptop_m[..., 0, :], (N,))[..., None, :], dPm[..., 1:, :]],
-        axis=-2,
-    )
-    dPp = jnp.concatenate(
-        [ptop_p[..., 1:, :] - pbot_p[..., : L - 1, :],
-         bc(bot_rhs, (N,))[..., None, :]],
-        axis=-2,
-    )
-    dblk = jnp.concatenate([d_up, dPp], axis=-1)               # (...,L,2N)
+        [(ptop_m[:, 0] - ftop)[:, None, :],
+         ptop_m[:, 1:] - pbot_m[:, : L - 1]], axis=1)
+    d_lo = jnp.concatenate(
+        [ptop_p[:, 1:] - pbot_p[:, : L - 1],
+         bot_rhs[:, None, :]], axis=1)
+    dblk = jnp.concatenate([d_up, d_lo], axis=0)        # (2N, L, B)
 
-    # --- block-tridiagonal Thomas scan ---
-    def fwd(carry, blk):
-        Wprev, gprev = carry
-        Ab, Bb, Cb, db = blk
-        Mn = Bb - _mm(Ab, Wprev)
-        rhs_cat = jnp.concatenate([Cb, (db - _mv(Ab, gprev))[..., None]], axis=-1)
+    alb2 = 2.0 * albedo                                  # (B,)
+    islast = jnp.concatenate(
+        [jnp.zeros((L - 1,), dtype), jnp.ones((1,), dtype)])
+
+    # scan layout: move L to axis 0
+    xs_fwd = (
+        jnp.moveaxis(gp, 2, 0),    # (L, N, N, B)
+        jnp.moveaxis(gm, 2, 0),
+        jnp.moveaxis(E, 1, 0),     # (L, N, B)
+        jnp.moveaxis(dblk, 1, 0),  # (L, 2N, B)
+        islast,
+    )
+
+    csel = jnp.concatenate(
+        [jnp.zeros((N, N), dtype), jnp.eye(N, dtype=dtype)], axis=0
+    )[:, :, None]                                        # (2N, N, 1)
+
+    def mm3(a, b):
+        return jnp.einsum("ikb,kjb->ijb", a, b, precision=_HI)
+
+    def mv3(a, v):
+        return jnp.einsum("ikb,kb->ib", a, v, precision=_HI)
+
+    def fwd(carry, xs):
+        R_prev, P_prev, g_prev = carry
+        gpn, gmn, En, dn, last = xs                      # (N,N,B),(N,B),(2N,B)
+        gpE = gpn * En[None]
+        gmE = gmn * En[None]
+
+        Ttop = jnp.concatenate([gmn, gpE], axis=1)       # (N, 2N, B)
+        Blow = jnp.concatenate([gpE, gmn], axis=1)
+        Rn = jnp.concatenate([gmE, gpn], axis=1)
+        Dn = jnp.concatenate([gpn, gmE], axis=1)
+
+        # Lambertian reflection rows fold in only on the last layer
+        refl = jnp.einsum("j,jkb->kb", wmu, Rn, precision=_HI)
+        Blow = Blow - (last * alb2)[None, None, :] * refl[None]
+
+        Q = mm3(R_prev, P_prev)                          # (N, N, B)
+        Mtop = -Ttop + mm3(Q, Dn)
+        Mn = jnp.concatenate([Mtop, Blow], axis=0)       # (2N, 2N, B)
+
+        rhs_vec = jnp.concatenate(
+            [dn[:N] - mv3(R_prev, g_prev), dn[N:]], axis=0)
+        rhs_cat = jnp.concatenate(
+            [jnp.broadcast_to(csel, (2 * N, N, B)), rhs_vec[:, None, :]],
+            axis=1)                                      # (2N, N+1, B)
         sol_cat = lu_solve(Mn, rhs_cat)
-        Wn = sol_cat[..., :-1]
-        gn = sol_cat[..., -1]
-        return (Wn, gn), (Wn, gn)
+        Pn = sol_cat[:, :N]                              # (2N, N, B)
+        gn = sol_cat[:, N]                               # (2N, B)
 
-    # move layer axis to scan position 0
-    def l2f(x):
-        return jnp.moveaxis(x, -3, 0)
+        return (Rn, Pn, gn), (Pn, gn)
 
-    Ab = l2f(Ablk)
-    Bb = l2f(Bblk)
-    Cb = l2f(Cblk)
-    db = jnp.moveaxis(dblk, -2, 0)
+    R0 = jnp.zeros((N, 2 * N, B), dtype)
+    P0 = jnp.zeros((2 * N, N, B), dtype)
+    g0 = jnp.zeros((2 * N, B), dtype)
+    _, (Ps, gs) = lax.scan(fwd, (R0, P0, g0), xs_fwd)
 
-    W0 = jnp.zeros(batch + (2 * N, 2 * N), dtype)
-    g0 = jnp.zeros(batch + (2 * N,), dtype)
-    (_, _), (Ws, gs) = lax.scan(fwd, (W0, g0), (Ab, Bb, Cb, db))
+    # backward: x_n = g_n + P_n (D_{n+1} x_{n+1}),   D_L x_L := 0
+    def bwd(dx_carry, xs):
+        gpn, gmn, En, Pn, gn = xs
+        xn = gn + jnp.einsum("ikb,kb->ib", Pn, dx_carry, precision=_HI)
+        dxn = (jnp.einsum("ikb,kb->ib", gpn, xn[:N], precision=_HI)
+               + jnp.einsum("ikb,kb->ib", gmn * En[None], xn[N:],
+                            precision=_HI))
+        return dxn, xn
 
-    def bwd(x_next, blk):
-        Wn, gn = blk
-        xn = gn - _mv(Wn, x_next)
-        return xn, xn
-
-    xL = gs[-1]
-    _, xs_rev = lax.scan(bwd, xL, (Ws[:-1], gs[:-1]), reverse=True)
-    xs = jnp.concatenate([xs_rev, xL[None]], axis=0)           # (L, ..., 2N)
-    xs = jnp.moveaxis(xs, 0, -2)                               # (..., L, 2N)
-    return xs[..., :N], xs[..., N:]
+    xs_bwd = (xs_fwd[0], xs_fwd[1], xs_fwd[2], Ps, gs)
+    dx0 = jnp.zeros((N, B), dtype)
+    _, xs_all = lax.scan(bwd, dx0, xs_bwd, reverse=True)  # (L, 2N, B)
+    xs_all = jnp.moveaxis(xs_all, 0, 1)                   # (2N, L, B)
+    return xs_all[:N], xs_all[N:]

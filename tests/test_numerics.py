@@ -13,14 +13,17 @@ from pyharp_tpu.rt.disort.quadrature import gauss_half_range
 from pyharp_tpu.core import constants
 
 
+# Layout note: the batched primitives use matrix-dims-leading, batch-last
+# layout ("structure of arrays", see jacobi.py docstring): A is (n, n, B).
+
 @pytest.mark.parametrize("n", [1, 2, 4, 8])
 def test_jacobi_eigh_random(n):
     rng = np.random.default_rng(n)
     A = rng.normal(size=(50, n, n))
     A = A + np.swapaxes(A, -1, -2)
-    w, V = jacobi_eigh(jnp.asarray(A))
-    w = np.asarray(w)
-    V = np.asarray(V)
+    w, V = jacobi_eigh(jnp.asarray(np.moveaxis(A, 0, -1)))
+    w = np.moveaxis(np.asarray(w), -1, 0)          # (B, n)
+    V = np.moveaxis(np.asarray(V), -1, 0)          # (B, n, n)
     # reconstruction: A = V diag(w) V^T
     recon = np.einsum("bik,bk,bjk->bij", V, w, V)
     np.testing.assert_allclose(recon, A, atol=1e-11)
@@ -35,10 +38,11 @@ def test_jacobi_eigh_random(n):
 
 
 def test_jacobi_eigh_degenerate_and_diagonal():
-    A = np.diag([3.0, 3.0, 1.0, 1.0])[None].repeat(4, 0)
+    A = np.diag([3.0, 3.0, 1.0, 1.0])[:, :, None].repeat(4, 2)
     w, V = jacobi_eigh(jnp.asarray(A))
-    np.testing.assert_allclose(np.sort(np.asarray(w), axis=-1),
-                               np.broadcast_to([1.0, 1.0, 3.0, 3.0], (4, 4)),
+    np.testing.assert_allclose(np.sort(np.asarray(w), axis=0),
+                               np.broadcast_to([[1.0], [1.0], [3.0], [3.0]],
+                                               (4, 4)),
                                atol=1e-13)
 
 
@@ -47,26 +51,29 @@ def test_lu_solve_random(n, k):
     rng = np.random.default_rng(n * 10 + k)
     A = rng.normal(size=(30, n, n)) + 3 * np.eye(n)
     b = rng.normal(size=(30, n, k))
-    x = lu_solve(jnp.asarray(A), jnp.asarray(b))
-    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
-                               rtol=1e-9, atol=1e-9)
+    x = lu_solve(jnp.asarray(np.moveaxis(A, 0, -1)),
+                 jnp.asarray(np.moveaxis(b, 0, -1)))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(x), -1, 0),
+                               np.linalg.solve(A, b), rtol=1e-9, atol=1e-9)
 
 
 def test_lu_solve_needs_pivoting():
     # leading zero pivot: fails without partial pivoting
-    A = np.array([[[0.0, 1.0], [1.0, 0.0]]])
-    b = np.array([[2.0, 3.0]])
+    A = np.array([[0.0, 1.0], [1.0, 0.0]])[:, :, None]
+    b = np.array([2.0, 3.0])[:, None]
     x = lu_solve(jnp.asarray(A), jnp.asarray(b))
-    np.testing.assert_allclose(np.asarray(x), [[3.0, 2.0]], atol=1e-14)
+    np.testing.assert_allclose(np.asarray(x)[:, 0], [3.0, 2.0], atol=1e-14)
 
 
 def test_lu_solve_vector_rhs():
     rng = np.random.default_rng(0)
     A = rng.normal(size=(7, 5, 5)) + 4 * np.eye(5)
     b = rng.normal(size=(7, 5))
-    x = lu_solve(jnp.asarray(A), jnp.asarray(b))
+    x = lu_solve(jnp.asarray(np.moveaxis(A, 0, -1)),
+                 jnp.asarray(np.moveaxis(b, 0, -1)))
     want = np.linalg.solve(A, b[..., None])[..., 0]
-    np.testing.assert_allclose(np.asarray(x), want, rtol=1e-9)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(x), -1, 0), want,
+                               rtol=1e-9)
 
 
 def test_planck_total_stefan_boltzmann():
