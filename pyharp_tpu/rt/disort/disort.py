@@ -34,6 +34,7 @@ from jax import Array
 
 from ...core import index
 from . import solver as _solver
+from .solver import _umv, _uwdot_static
 from .planck import planck_band, planck_total
 from .solver import StaticAngles, make_static_angles
 
@@ -266,8 +267,8 @@ class Disort:
         emit = (1.0 - albedo) * bsurf
         pb_p = pbot_p[:, -1]                              # (N, B)
         pb_m = pbot_m[:, -1]
-        wmu = w * mu
-        refl_part = 2.0 * albedo * jnp.einsum("j,jb->b", wmu, pb_m)
+        wmu_np = ang.w * ang.mu
+        refl_part = 2.0 * albedo * _uwdot_static(wmu_np, pb_m)
         bot_rhs = (direct_refl + emit + refl_part)[None] - pb_p
 
         a, b = _solver.solve_bvp(
@@ -276,27 +277,22 @@ class Disort:
         # ---- intensities at levels (quadrature angles), then fluxes ----
         gp, gm, E = sol.gp, sol.gm, sol.expd
 
-        def gdot(Gmat, vec):
-            return jnp.einsum("ikab,kab->iab", Gmat, vec)
-
-        up_t = gdot(gp, a) + gdot(gm, E * b) + ptop_p    # (N, L, B) at tops
-        dn_t = gdot(gm, a) + gdot(gp, E * b) + ptop_m
+        up_t = _umv(gp, a) + _umv(gm, E * b) + ptop_p    # (N, L, B) at tops
+        dn_t = _umv(gm, a) + _umv(gp, E * b) + ptop_m
 
         gpL = gp[:, :, -1]                                # (N, N, B)
         gmL = gm[:, :, -1]
         EL = E[:, -1]
         aL = a[:, -1]
         bL = b[:, -1]
-        up_bot = (jnp.einsum("ikb,kb->ib", gpL, EL * aL)
-                  + jnp.einsum("ikb,kb->ib", gmL, bL) + pb_p)
-        dn_bot = (jnp.einsum("ikb,kb->ib", gmL, EL * aL)
-                  + jnp.einsum("ikb,kb->ib", gpL, bL) + pb_m)
+        up_bot = _umv(gpL, EL * aL) + _umv(gmL, bL) + pb_p
+        dn_bot = _umv(gmL, EL * aL) + _umv(gpL, bL) + pb_m
 
         up_all = jnp.concatenate([up_t, up_bot[:, None]], axis=1)  # (N,L+1,B)
         dn_all = jnp.concatenate([dn_t, dn_bot[:, None]], axis=1)
 
-        flup = 2.0 * jnp.pi * jnp.einsum("j,jlb->lb", wmu, up_all)
-        rfldn = 2.0 * jnp.pi * jnp.einsum("j,jlb->lb", wmu, dn_all)
+        flup = 2.0 * jnp.pi * _uwdot_static(wmu_np, up_all)
+        rfldn = 2.0 * jnp.pi * _uwdot_static(wmu_np, dn_all)
 
         # direct beam: reported with UNSCALED optical depth (DISORT's RFLDIR);
         # the delta-M forward-peak difference is folded into diffuse down so

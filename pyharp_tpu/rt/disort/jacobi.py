@@ -5,14 +5,15 @@ The discrete-ordinates engine needs the spectrum of one tiny symmetric matrix
 independent problems of fixed, compile-time size.  cdisort calls a scalar
 LAPACK-style routine per problem (ASYMTX); the TPU-native shape is the
 opposite: a fixed unrolled rotation schedule applied to the whole batch at
-once, so every step is a plain VPU elementwise op over the huge batch and XLA
-fuses the entire sweep chain.
+once, so every step is a plain VPU elementwise op over the huge batch.
 
-Layout: **matrix dims leading, batch trailing** — ``A`` is ``(n, n, *batch)``.
-On TPU the minor-most dimension maps to the 128-wide vector lanes; putting
-the big batch there makes every rotation a perfectly-vectorized lane op,
-while a batch-leading layout would pad the trailing (n, n) = (4, 4) tile out
-to (8, 128) — a 32x memory blow-up observed in practice.
+Representation: the matrix is **fully scalarized** — a Python list-of-lists
+of batch-shaped arrays, one per matrix element.  Array-typed alternatives
+(``A.at[p, q].set`` on an ``(n, n, batch)`` tensor) materialize the whole
+matrix batch at every rotation (~700 dynamic-update-slices of the full
+buffer, measured as tens of GB of HBM traffic); with scalar components every
+rotation touches only the 4n participating (batch,)-arrays and XLA fuses the
+entire sweep chain into a handful of kernels.
 
 Cyclic Jacobi converges quadratically; for n <= 8 a fixed number of sweeps
 reaches machine precision (validated against LAPACK in tests).
@@ -23,13 +24,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _rotate(A, V, p: int, q: int):
-    """One batched Jacobi rotation zeroing A[p, q, ...]."""
-    apq = A[p, q]
-    app = A[p, p]
-    aqq = A[q, q]
+def _rotate(A, V, p: int, q: int, n: int):
+    """One batched Jacobi rotation zeroing component A[p][q] (in place)."""
+    apq = A[p][q]
+    app = A[p][p]
+    aqq = A[q][q]
 
-    small = jnp.abs(apq) <= jnp.finfo(A.dtype).tiny * 1e3
+    small = jnp.abs(apq) <= jnp.finfo(apq.dtype).tiny * 1e3
     denom = jnp.where(small, 1.0, 2.0 * apq)
     tau = (aqq - app) / denom
     t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
@@ -38,24 +39,31 @@ def _rotate(A, V, p: int, q: int):
     c = 1.0 / jnp.sqrt(1.0 + t * t)
     s = t * c
 
-    # column update: A <- A J (columns p, q of every row)
-    Ap = A[:, p]
-    Aq = A[:, q]
-    A = A.at[:, p].set(c * Ap - s * Aq)
-    A = A.at[:, q].set(s * Ap + c * Aq)
-    # row update: A <- J^T A
-    Ap = A[p, :]
-    Aq = A[q, :]
-    A = A.at[p, :].set(c * Ap - s * Aq)
-    A = A.at[q, :].set(s * Ap + c * Aq)
-    # analytic zero of the target element (kills rotation round-off residue)
-    A = A.at[p, q].set(jnp.zeros_like(apq))
-    A = A.at[q, p].set(jnp.zeros_like(apq))
+    # A <- J^T A J restricted to rows/cols p, q (A kept symmetric)
+    new_pp = c * c * app - 2.0 * s * c * apq + s * s * aqq
+    new_qq = s * s * app + 2.0 * s * c * apq + c * c * aqq
+    for r in range(n):
+        if r == p or r == q:
+            continue
+        arp = A[r][p]
+        arq = A[r][q]
+        nrp = c * arp - s * arq
+        nrq = s * arp + c * arq
+        A[r][p] = nrp
+        A[p][r] = nrp
+        A[r][q] = nrq
+        A[q][r] = nrq
+    A[p][p] = new_pp
+    A[q][q] = new_qq
+    zero = jnp.zeros_like(apq)
+    A[p][q] = zero
+    A[q][p] = zero
 
-    Vp = V[:, p]
-    Vq = V[:, q]
-    V = V.at[:, p].set(c * Vp - s * Vq)
-    V = V.at[:, q].set(s * Vp + c * Vq)
+    for r in range(n):
+        vrp = V[r][p]
+        vrq = V[r][q]
+        V[r][p] = c * vrp - s * vrq
+        V[r][q] = s * vrp + c * vrq
     return A, V
 
 
@@ -75,14 +83,31 @@ def jacobi_eigh(A, sweeps: int | None = None):
     n = A.shape[0]
     if sweeps is None:
         sweeps = 6 if n <= 2 else (10 if n <= 4 else 14)
-    A = 0.5 * (A + jnp.swapaxes(A, 0, 1))
-    eye = jnp.eye(n, dtype=A.dtype).reshape((n, n) + (1,) * (A.ndim - 2))
-    V = jnp.broadcast_to(eye, A.shape).copy()
-    if n == 1:
-        return A[0], V
-    for _ in range(sweeps):
-        for p in range(n - 1):
-            for q in range(p + 1, n):
-                A, V = _rotate(A, V, p, q)
-    w = jnp.stack([A[i, i] for i in range(n)], axis=0)
+
+    # scalarize (symmetrized)
+    Ac = [[0.5 * (A[i, j] + A[j, i]) for j in range(n)] for i in range(n)]
+    one = jnp.ones_like(A[0, 0])
+    zero = jnp.zeros_like(A[0, 0])
+    Vc = [[one if i == j else zero for j in range(n)] for i in range(n)]
+
+    if n > 1:
+        # one sweep per fori_loop iteration: keeps the unrolled-rotation
+        # graph to a single sweep (~350 ops for n=4) — full unrolling of all
+        # sweeps produced one giant fusion that exploded LLVM/Mosaic codegen
+        import jax.lax as lax
+
+        def one_sweep(_, AV):
+            Ac, Vc = [list(map(list, X)) for X in AV]
+            for p in range(n - 1):
+                for q in range(p + 1, n):
+                    Ac, Vc = _rotate(Ac, Vc, p, q, n)
+            return tuple(map(tuple, Ac)), tuple(map(tuple, Vc))
+
+        AV = lax.fori_loop(
+            0, sweeps, one_sweep,
+            (tuple(map(tuple, Ac)), tuple(map(tuple, Vc))))
+        Ac, Vc = [list(map(list, X)) for X in AV]
+
+    w = jnp.stack([Ac[i][i] for i in range(n)], axis=0)
+    V = jnp.stack([jnp.stack(row, axis=0) for row in Vc], axis=0)
     return w, V

@@ -3,13 +3,20 @@
 The DISORT core needs millions of independent N x N (N <= 16) solves per
 step.  XLA's generic ``LuDecomposition`` path is a poor fit (and lacks an
 f64 TPU lowering entirely), so this module unrolls Gaussian elimination with
-partial pivoting over the *static* matrix dimension: every operation is an
-elementwise/VPU op over the whole batch, with no per-problem control flow —
-the TPU-native inversion of cdisort's per-problem LINPACK calls (SGECO/SGESL,
-SURVEY.md section 2.3 item 1).
+partial pivoting over the *static* matrix dimension — the TPU-native
+inversion of cdisort's per-problem LINPACK calls (SGECO/SGESL, SURVEY.md
+section 2.3 item 1).
 
-Layout: matrix dims leading, batch trailing (see ``jacobi.py`` for why):
-``A`` is ``(n, n, *batch)``, ``b`` is ``(n, *batch)`` or ``(n, k, *batch)``.
+Representation: **row-scalarized** — the augmented system is a Python list of
+``(ncols, batch)`` row arrays.  Row swaps and eliminations are then single
+whole-row vector ops (a handful of XLA instructions per pivot step), while a
+fully scalarized or fully tensorized form is orders of magnitude worse:
+per-element scalarization explodes the instruction count (LLVM/Mosaic
+codegen blow-up), and ``(n, n, batch)`` tensors with ``.at[].set`` updates
+materialize the whole batch per step.
+
+Partial pivoting cannot branch per batch element; each elimination step
+bubbles the max-|pivot| row up with elementwise ``where`` swaps.
 """
 
 from __future__ import annotations
@@ -28,46 +35,36 @@ def lu_solve(A, b):
       ``x`` with the same shape as ``b``.
     """
     n = A.shape[0]
-    batch = A.shape[2:]
-    vec = b.ndim == len(batch) + 1
+    vec = b.ndim == A.ndim - 1
     if vec:
         b = b[:, None]
-    k = b.shape[1]
-    # augmented system keeps the row swaps cheap (single tensor)
-    M = jnp.concatenate([A, b.astype(A.dtype)], axis=1)  # (n, n+k, *batch)
+
+    # row-scalarized augmented system: rows[i] is (n + k, *batch)
+    rows = [jnp.concatenate([A[i], b[i].astype(A.dtype)], axis=0)
+            for i in range(n)]
 
     for col in range(n):
-        mag = jnp.abs(M[:, col])                 # (n, *batch)
-        if col > 0:
-            mask = (jnp.arange(n) < col).reshape((n,) + (1,) * len(batch))
-            mag = jnp.where(mask, -1.0, mag)
-        p = jnp.argmax(mag, axis=0)              # (*batch,) pivot row >= col
+        # bubble the max-|entry| row (among col..n-1) into position `col`
+        for r in range(col + 1, n):
+            swap = jnp.abs(rows[r][col]) > jnp.abs(rows[col][col])
+            hi = jnp.where(swap, rows[r], rows[col])
+            lo = jnp.where(swap, rows[col], rows[r])
+            rows[col] = hi
+            rows[r] = lo
+        inv = 1.0 / rows[col][col]
+        for r in range(col + 1, n):
+            f = rows[r][col] * inv
+            rows[r] = rows[r] - f[None] * rows[col]
 
-        rowk = M[col]                            # (n+k, *batch)
-        rowp = jnp.take_along_axis(M, p[None, None], axis=0)[0]
-        M = M.at[col].set(rowp)
-        ridx = jnp.arange(n).reshape((n,) + (1,) * (M.ndim - 1))
-        is_p = (ridx == p[None, None]) & (p[None, None] != col)
-        M = jnp.where(is_p, rowk[None], M)
-
-        pivot = M[col, col]                      # (*batch,)
-        inv = 1.0 / pivot
-        factors = M[:, col] * inv[None]          # (n, *batch)
-        below = (jnp.arange(n) > col).reshape((n,) + (1,) * len(batch))
-        update = jnp.where(below, factors, 0.0)[:, None] * M[col][None]
-        M = M - update
-
-    # back substitution on the upper-triangular augmented system
-    x = M[:, n:]                                 # (n, k, *batch)
-    U = M[:, :n]
-    out = jnp.zeros_like(x)
+    # back substitution: x[row] spans the k rhs columns, shape (k, *batch)
+    x = [None] * n
     for row in range(n - 1, -1, -1):
-        acc = x[row]
-        if row < n - 1:
-            acc = acc - jnp.einsum(
-                "j...,jm...->m...", U[row, row + 1:], out[row + 1:])
-        out = out.at[row].set(acc / U[row, row][None])
+        acc = rows[row][n:]
+        for col in range(row + 1, n):
+            acc = acc - rows[row][col][None] * x[col]
+        x[row] = acc / rows[row][row][None]
 
+    out = jnp.stack(x, axis=0)
     if vec:
         out = out[:, 0]
     return out

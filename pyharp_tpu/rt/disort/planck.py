@@ -55,14 +55,24 @@ _PI4_15 = 15.0 / jnp.pi**4
 
 
 def _upper_integral_scaled(x):
-    """(15/pi^4) int_x^inf v^3/(e^v-1) dv, valid for x >= ~1."""
-    ks = jnp.arange(1, _NEXP + 1, dtype=x.dtype)
-    xk = x[..., None] * ks
-    terms = jnp.exp(-xk) * (
-        x[..., None] ** 3 / ks + 3 * x[..., None] ** 2 / ks**2
-        + 6 * x[..., None] / ks**3 + 6 / ks**4
-    )
-    return _PI4_15 * terms.sum(-1)
+    """(15/pi^4) int_x^inf v^3/(e^v-1) dv, valid for x >= ~1.
+
+    Accumulated term-by-term (static Python loop) rather than materializing a
+    ``(..., NEXP)`` axis: a trailing length-30 dim would be lane-padded to
+    128 on TPU (4x memory) and the exp recurrence e^{-kx} = e^{-(k-1)x} e^{-x}
+    replaces 30 transcendentals with one.
+    """
+    x2 = x * x
+    x3 = x2 * x
+    ex = jnp.exp(-x)
+    ek = ex
+    acc = jnp.zeros_like(x)
+    for kk in range(1, _NEXP + 1):
+        acc = acc + ek * (x3 / kk + 3 * x2 / (kk * kk)
+                          + 6 * x / (kk**3) + 6.0 / (kk**4))
+        if kk < _NEXP:
+            ek = ek * ex
+    return _PI4_15 * acc
 
 
 def _lower_integral_scaled(x):

@@ -54,14 +54,98 @@ from .quadrature import gauss_half_range
 _HI = lax.Precision.HIGHEST
 
 
+def _umm(a, b):
+    """Unrolled tiny matmul: (N, K, ...) x (K, M, ...) -> (N, M, ...).
+
+    Written as explicit mul-adds over the static matrix dims instead of a
+    batched ``dot``: XLA's dot lowering prefers batch-minor layouts and
+    inserts whole-buffer transposes of the (L, N, N, B) scan inputs, which
+    re-pads the tiny (N, N) tile to (8, 128) — a measured 32x HBM blow-up.
+    Elementwise slicing keeps the batch-last layout intact.
+    """
+    N, K = a.shape[0], a.shape[1]
+    M = b.shape[1]
+    rows = []
+    for i in range(N):
+        cols = []
+        for j in range(M):
+            acc = a[i, 0] * b[0, j]
+            for k in range(1, K):
+                acc = acc + a[i, k] * b[k, j]
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def _umv(a, v):
+    """Unrolled tiny matrix-vector: (N, K, ...) x (K, ...) -> (N, ...)."""
+    N, K = a.shape[0], a.shape[1]
+    rows = []
+    for i in range(N):
+        acc = a[i, 0] * v[0]
+        for k in range(1, K):
+            acc = acc + a[i, k] * v[k]
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+def _uquad(Q, s):
+    """Unrolled Q diag(s) Q^T: (N, N, ...) x (N, ...) -> (N, N, ...)."""
+    N = Q.shape[0]
+    sQ = [[Q[i, k] * s[k] for k in range(N)] for i in range(N)]
+    rows = []
+    for i in range(N):
+        cols = []
+        for j in range(N):
+            acc = sQ[i][0] * Q[j, 0]
+            for k in range(1, N):
+                acc = acc + sQ[i][k] * Q[j, k]
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def _uwdot_static(w, x):
+    """Unrolled static-weight reduction over the leading dim: sum_j w[j] x[j].
+
+    ``w`` is a host-side numpy vector (weights are compile-time constants).
+    """
+    acc = float(w[0]) * x[0]
+    for j in range(1, x.shape[0]):
+        acc = acc + float(w[j]) * x[j]
+    return acc
+
+
+def _ucontract_g(coef, tab):
+    """sum_g coef[:, g, :] * tab[g, ...]: (L, G, B) x (G, *dims) -> (*dims, L, B)."""
+    G = tab.shape[0]
+    dims = tab.shape[1:]
+    import numpy as _np
+    flat_out = []
+    for idx in range(int(_np.prod(dims))):
+        ij = _np.unravel_index(idx, dims)
+        acc = None
+        for gidx in range(G):
+            t = float(tab[(gidx,) + tuple(int(x) for x in ij)])
+            if t == 0.0:
+                continue
+            term = coef[:, gidx, :] * t
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros_like(coef[:, 0, :])
+        flat_out.append(acc)
+    out = jnp.stack(flat_out, axis=0)  # (prod(dims), L, B)
+    return out.reshape(tuple(dims) + out.shape[1:])
+
+
 def _mm(a, b):
     """(N,N,L,B) x (N,N,L,B) matrix product over the leading dims."""
-    return jnp.einsum("ikab,kjab->ijab", a, b, precision=_HI)
+    return _umm(a, b)
 
 
 def _mv(a, v):
     """(N,N,L,B) x (N,L,B) -> (N,L,B)."""
-    return jnp.einsum("ikab,kab->iab", a, v, precision=_HI)
+    return _umv(a, v)
 
 
 class LayerSolution(NamedTuple):
@@ -99,10 +183,8 @@ def _phase_outer_tables(ang: StaticAngles, dtype):
     ls = np.arange(lam.shape[0])
     outer = (2 * ls + 1)[:, None, None] * lam[:, :, None] * lam[:, None, :]
     even = ((ls - ang.m) % 2 == 0)[:, None, None]
-    return (
-        jnp.asarray(np.where(even, outer, 0.0), dtype),   # even part
-        jnp.asarray(np.where(even, 0.0, outer), dtype),   # odd part
-    )
+    # returned as host numpy: consumed as static unrolled coefficients
+    return np.where(even, outer, 0.0), np.where(even, 0.0, outer)
 
 
 def _moment_coeffs(ssa, pmom, ang: StaticAngles, dtype):
@@ -153,8 +235,8 @@ def homogeneous_solution(
     g = _moment_coeffs(ssa, pmom, ang, dtype)            # (L, G, B)
 
     # D+ +- D- split by parity: Se = sum_{l-m even}, So = sum_{l-m odd}
-    Se = jnp.einsum("agb,gij->ijab", g, even_tab, precision=_HI)
-    So = jnp.einsum("agb,gij->ijab", g, odd_tab, precision=_HI)
+    Se = _ucontract_g(g, even_tab)
+    So = _ucontract_g(g, odd_tab)
 
     sqw = jnp.sqrt(w)
     sqm = jnp.sqrt(mu)
@@ -175,7 +257,7 @@ def homogeneous_solution(
     ew, Q = jacobi_eigh(Uhat)
     ew = jnp.maximum(ew, jnp.asarray(1e-12, dtype))
     sq = jnp.sqrt(ew)
-    Uh = jnp.einsum("ikab,kab,jkab->ijab", Q, sq, Q, precision=_HI)
+    Uh = _uquad(Q, sq)
 
     K = _mm(Uh, _mm(Vhat, Uh))                     # symmetric
     lam2, Y = jacobi_eigh(K)
@@ -239,15 +321,32 @@ def beam_particular(
     lam0 = lepoly(mu0, ang.m, lmax)
     parity = jnp.asarray(ang.parity, dtype)
 
-    lam_tab = jnp.asarray(ang.lam_tables, dtype)       # (G, N)
     kappa = (2.0 if ang.m > 0 else 1.0) / (4.0 * jnp.pi)
     ls = jnp.asarray(np.arange(lmax + 1), dtype)
     # q+- = kappa w0 F0 sum_l (2l+1) g_l Lam_l(+-mu_i) Lam_l(-mu0)
     coef = g * ((2 * ls + 1) * parity)[None, :, None] * lam0[None, :, :]
-    qp = kappa * jnp.einsum("agb,gi->iab", coef, lam_tab, precision=_HI)
-    qm = kappa * jnp.einsum("agb,gi->iab",
-                            coef * parity[None, :, None], lam_tab,
-                            precision=_HI)
+    lam_tab_np = ang.lam_tables  # static (G, N) table: unrolled contraction
+    G = lam_tab_np.shape[0]
+    par_np = ang.parity
+
+    def qsum(signed):
+        rows = []
+        for i in range(lam_tab_np.shape[1]):
+            acc = None
+            for gidx in range(G):
+                t = float(lam_tab_np[gidx, i])
+                if signed:
+                    t *= float(par_np[gidx])
+                if t == 0.0:
+                    continue
+                term = coef[:, gidx, :] * t
+                acc = term if acc is None else acc + term
+            rows.append(acc if acc is not None
+                        else jnp.zeros_like(coef[:, 0, :]))
+        return jnp.stack(rows, axis=0)
+
+    qp = kappa * qsum(False)
+    qm = kappa * qsum(True)
     amp = (ssa * fbeam[None, :])[None]                 # (1, L, B)
     qp = qp * amp
     qm = qm * amp
@@ -267,7 +366,7 @@ def beam_particular(
     floor = eps * (sol.lam**2 + inv_mu0_sq)
     denom = jnp.where(jnp.abs(denom) < floor,
                       jnp.where(denom < 0, -floor, floor), denom)
-    zs = jnp.einsum("ikab,kab->iab", S, c / denom, precision=_HI)
+    zs = _umv(S, c / denom)
 
     # zd = -mu0 M^-1 (U zs - qs)
     zd = -mu0[None, None, :] * (_mv(Ufull, zs) - qs) / mu_c
@@ -331,9 +430,7 @@ def solve_bvp(
     """
     dtype = sol.lam.dtype
     N, L, B = sol.lam.shape
-    mu = jnp.asarray(ang.mu, dtype)
-    w = jnp.asarray(ang.w, dtype)
-    wmu = w * mu
+    wmu_np = ang.w * ang.mu               # static numpy weights
 
     gp, gm, E = sol.gp, sol.gm, sol.expd   # (N,N,L,B), (N,L,B)
 
@@ -366,11 +463,8 @@ def solve_bvp(
         [jnp.zeros((N, N), dtype), jnp.eye(N, dtype=dtype)], axis=0
     )[:, :, None]                                        # (2N, N, 1)
 
-    def mm3(a, b):
-        return jnp.einsum("ikb,kjb->ijb", a, b, precision=_HI)
-
-    def mv3(a, v):
-        return jnp.einsum("ikb,kb->ib", a, v, precision=_HI)
+    mm3 = _umm
+    mv3 = _umv
 
     def fwd(carry, xs):
         R_prev, P_prev, g_prev = carry
@@ -384,7 +478,7 @@ def solve_bvp(
         Dn = jnp.concatenate([gpn, gmE], axis=1)
 
         # Lambertian reflection rows fold in only on the last layer
-        refl = jnp.einsum("j,jkb->kb", wmu, Rn, precision=_HI)
+        refl = _uwdot_static(wmu_np, Rn)     # sum_j w_j mu_j Rn[j] -> (2N, B)
         Blow = Blow - (last * alb2)[None, None, :] * refl[None]
 
         Q = mm3(R_prev, P_prev)                          # (N, N, B)
@@ -410,10 +504,8 @@ def solve_bvp(
     # backward: x_n = g_n + P_n (D_{n+1} x_{n+1}),   D_L x_L := 0
     def bwd(dx_carry, xs):
         gpn, gmn, En, Pn, gn = xs
-        xn = gn + jnp.einsum("ikb,kb->ib", Pn, dx_carry, precision=_HI)
-        dxn = (jnp.einsum("ikb,kb->ib", gpn, xn[:N], precision=_HI)
-               + jnp.einsum("ikb,kb->ib", gmn * En[None], xn[N:],
-                            precision=_HI))
+        xn = gn + _umv(Pn, dx_carry)
+        dxn = _umv(gpn, xn[:N]) + _umv(gmn * En[None], xn[N:])
         return dxn, xn
 
     xs_bwd = (xs_fwd[0], xs_fwd[1], xs_fwd[2], Ps, gs)
