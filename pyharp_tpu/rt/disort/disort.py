@@ -123,31 +123,12 @@ class Disort:
         return (jnp.asarray(np.asarray(wl), dtype),
                 jnp.asarray(np.asarray(wu), dtype))
 
-    # -- main entry --------------------------------------------------------
+    # -- preparation shared by forward() and intensities() ------------------
 
-    def forward(
-        self,
-        prop: Array,
-        bc: dict[str, Array],
-        temf: Array | None = None,
-    ) -> Array:
-        """Solve all (wave, col) problems; return level fluxes.
-
-        Args:
-          prop: ``(nwave, ncol, nlyr, nprop)`` **bottom-up** optical
-            properties: ``prop[...,0]`` optical thickness tau per layer,
-            ``prop[...,1]`` single-scattering albedo (optional),
-            ``prop[...,2:]`` phase moments g_1.. (optional).
-          bc: boundary tensors ``(nwave, ncol)`` (broadcastable):
-            ``fbeam, umu0, albedo, btemp`` (+ ``ttemp, temis, fisot``).
-          temf: level temperatures ``(ncol, nlyr+1)`` bottom-up (required
-            with the ``planck`` flag).
-
-        Returns:
-          ``(nwave, ncol, nlyr+1, 2)`` with ``[..., IUP]`` upward flux and
-          ``[..., IDN]`` total (direct+diffuse) downward flux, levels
-          **bottom-up** (level 0 = surface) like the reference examples.
-        """
+    def _prepare(self, prop, bc, temf):
+        """Unpack inputs into the batch-last internal layout, apply delta-M
+        scaling + conservative-scattering dither, and build thermal source
+        coefficients.  Returns a dict of (L, B)-shaped arrays."""
         opts = self.options
         dtype = prop.dtype
         nwave, ncol, nlyr, nprop = prop.shape
@@ -171,6 +152,7 @@ class Disort:
         umu0 = bc_get("umu0", 1.0)
         albedo = bc_get("albedo", 0.0)
         fisot = bc_get("fisot", 0.0)
+        phi0 = bc_get("phi0", 0.0)
 
         # ---- delta-M scaling (cdisort's DELTAM; no-op for zero moments) ----
         if opts.deltam and pmom.shape[1] >= self.nstr:
@@ -235,62 +217,130 @@ class Disort:
             b_top_lay = jnp.zeros_like(tau)
             slope = jnp.zeros_like(tau)
 
-        # ---- homogeneous + particular solutions, azimuthal mode m = 0 ----
-        ang = self._ang0
+        return dict(
+            dtype=dtype, nwave=nwave, ncol=ncol, L=L, B=Bflat,
+            tau=tau, ssa=ssa, pmom=pmom,
+            tau_s=tau_s, ssa_s=ssa_s, pmom_s=pmom_s,
+            taucum_s=taucum_s, taucum_u=taucum_u,
+            fbeam=fbeam, umu0=umu0, albedo=albedo, fisot=fisot, phi0=phi0,
+            bsurf=bsurf, btop=btop, b_top_lay=b_top_lay, slope=slope,
+        )
+
+    def _solve_mode(self, pr, ang, thermal: bool):
+        """Eigen + particular + BVP for one azimuthal mode.
+
+        For m > 0 the Lambertian surface reflects nothing and the top/thermal
+        sources vanish (cdisort applies the same restriction).
+        """
+        dtype = pr["dtype"]
         N = self.nstr // 2
-        mu = jnp.asarray(ang.mu, dtype)
-        w = jnp.asarray(ang.w, dtype)
-        dtau_s = taucum_s[1:] - taucum_s[:-1]           # (L, B)
+        Bflat = pr["B"]
+        taucum_s = pr["taucum_s"]
+        dtau_s = taucum_s[1:] - taucum_s[:-1]
+        umu0 = pr["umu0"]
+        fbeam = pr["fbeam"]
 
         sol, Vfull, Ufull = _solver.homogeneous_solution(
-            ssa_s, pmom_s, dtau_s, ang)
+            pr["ssa_s"], pr["pmom_s"], dtau_s, ang)
 
         zp, zm = _solver.beam_particular(
-            sol, Vfull, Ufull, ssa_s, pmom_s, fbeam, umu0, ang)
-        # beam attenuation at layer tops/bottoms (scaled tau inside solver)
+            sol, Vfull, Ufull, pr["ssa_s"], pr["pmom_s"], fbeam, umu0, ang)
         att_top = jnp.exp(-taucum_s[:-1] / umu0[None])   # (L, B)
         att_bot = jnp.exp(-taucum_s[1:] / umu0[None])
-        y0p, y0m, y1 = _solver.thermal_particular(
-            Vfull, Ufull, ssa_s, b_top_lay, slope, ang)
+
+        if thermal:
+            y0p, y0m, y1 = _solver.thermal_particular(
+                Vfull, Ufull, pr["ssa_s"], pr["b_top_lay"], pr["slope"], ang)
+        else:
+            zshape = (N,) + pr["ssa_s"].shape
+            y0p = jnp.zeros(zshape, dtype)
+            y0m = jnp.zeros(zshape, dtype)
+            y1 = jnp.zeros(zshape, dtype)
 
         ptop_p = zp * att_top[None] + y0p                # (N, L, B)
         ptop_m = zm * att_top[None] + y0m
         pbot_p = zp * att_bot[None] + y0p + y1 * dtau_s[None]
         pbot_m = zm * att_bot[None] + y0m + y1 * dtau_s[None]
-
-        # ---- boundary right-hand sides ----
-        ftop = jnp.broadcast_to((fisot + btop)[None, :], (N, Bflat))
-        # bottom: I+ = alb/pi * mu0 F0 e^{-tauL/mu0} + 2 alb sum w mu I-
-        #             + (1-alb) B(btemp)
-        att_L = jnp.exp(-taucum_s[-1] / umu0)
-        direct_refl = albedo / jnp.pi * umu0 * fbeam * att_L
-        emit = (1.0 - albedo) * bsurf
-        pb_p = pbot_p[:, -1]                              # (N, B)
+        pb_p = pbot_p[:, -1]
         pb_m = pbot_m[:, -1]
+
         wmu_np = ang.w * ang.mu
-        refl_part = 2.0 * albedo * _uwdot_static(wmu_np, pb_m)
-        bot_rhs = (direct_refl + emit + refl_part)[None] - pb_p
+        if ang.m == 0:
+            albedo = pr["albedo"]
+            ftop = jnp.broadcast_to(
+                (pr["fisot"] + pr["btop"])[None, :], (N, Bflat))
+            att_L = jnp.exp(-taucum_s[-1] / umu0)
+            direct_refl = albedo / jnp.pi * umu0 * fbeam * att_L
+            emit = (1.0 - albedo) * pr["bsurf"]
+            refl_part = 2.0 * albedo * _uwdot_static(wmu_np, pb_m)
+            bot_rhs = (direct_refl + emit + refl_part)[None] - pb_p
+        else:
+            albedo = jnp.zeros((Bflat,), dtype)
+            ftop = jnp.zeros((N, Bflat), dtype)
+            bot_rhs = -pb_p
 
         a, b = _solver.solve_bvp(
             sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs, albedo, ang)
 
-        # ---- intensities at levels (quadrature angles), then fluxes ----
+        return dict(sol=sol, a=a, b=b, zp=zp, zm=zm,
+                    y0p=y0p, y0m=y0m, y1=y1,
+                    ptop_p=ptop_p, ptop_m=ptop_m,
+                    pbot_p=pbot_p, pbot_m=pbot_m,
+                    pb_p=pb_p, pb_m=pb_m)
+
+    # -- main entry --------------------------------------------------------
+
+    def forward(
+        self,
+        prop: Array,
+        bc: dict[str, Array],
+        temf: Array | None = None,
+    ) -> Array:
+        """Solve all (wave, col) problems; return level fluxes.
+
+        Args:
+          prop: ``(nwave, ncol, nlyr, nprop)`` **bottom-up** optical
+            properties: ``prop[...,0]`` optical thickness tau per layer,
+            ``prop[...,1]`` single-scattering albedo (optional),
+            ``prop[...,2:]`` phase moments g_1.. (optional).
+          bc: boundary tensors ``(nwave, ncol)`` (broadcastable):
+            ``fbeam, umu0, albedo, btemp`` (+ ``ttemp, temis, fisot, phi0``).
+          temf: level temperatures ``(ncol, nlyr+1)`` bottom-up (required
+            with the ``planck`` flag).
+
+        Returns:
+          ``(nwave, ncol, nlyr+1, 2)`` with ``[..., IUP]`` upward flux and
+          ``[..., IDN]`` total (direct+diffuse) downward flux, levels
+          **bottom-up** (level 0 = surface) like the reference examples.
+        """
+        pr = self._prepare(prop, bc, temf)
+        md = self._solve_mode(pr, self._ang0, thermal=True)
+        return self._fluxes_from_mode0(pr, md)
+
+    def _fluxes_from_mode0(self, pr, md):
+        nwave, ncol, L = pr["nwave"], pr["ncol"], pr["L"]
+        taucum_s, taucum_u = pr["taucum_s"], pr["taucum_u"]
+        umu0, fbeam = pr["umu0"], pr["fbeam"]
+        ang = self._ang0
+        sol = md["sol"]
+        a, b = md["a"], md["b"]
         gp, gm, E = sol.gp, sol.gm, sol.expd
 
-        up_t = _umv(gp, a) + _umv(gm, E * b) + ptop_p    # (N, L, B) at tops
-        dn_t = _umv(gm, a) + _umv(gp, E * b) + ptop_m
+        up_t = _umv(gp, a) + _umv(gm, E * b) + md["ptop_p"]   # (N, L, B)
+        dn_t = _umv(gm, a) + _umv(gp, E * b) + md["ptop_m"]
 
-        gpL = gp[:, :, -1]                                # (N, N, B)
+        gpL = gp[:, :, -1]
         gmL = gm[:, :, -1]
         EL = E[:, -1]
         aL = a[:, -1]
         bL = b[:, -1]
-        up_bot = _umv(gpL, EL * aL) + _umv(gmL, bL) + pb_p
-        dn_bot = _umv(gmL, EL * aL) + _umv(gpL, bL) + pb_m
+        up_bot = _umv(gpL, EL * aL) + _umv(gmL, bL) + md["pb_p"]
+        dn_bot = _umv(gmL, EL * aL) + _umv(gpL, bL) + md["pb_m"]
 
         up_all = jnp.concatenate([up_t, up_bot[:, None]], axis=1)  # (N,L+1,B)
         dn_all = jnp.concatenate([dn_t, dn_bot[:, None]], axis=1)
 
+        wmu_np = ang.w * ang.mu
         flup = 2.0 * jnp.pi * _uwdot_static(wmu_np, up_all)
         rfldn = 2.0 * jnp.pi * _uwdot_static(wmu_np, dn_all)
 
@@ -312,6 +362,149 @@ class Disort:
         flux = jnp.stack([flup, dn_total], axis=-1)       # (L+1, B, 2)
         flux = jnp.transpose(flux, (1, 0, 2)).reshape(nwave, ncol, L + 1, 2)
         return jnp.flip(flux, axis=-2)
+
+    # -- radiances ----------------------------------------------------------
+
+    def intensities(
+        self,
+        prop: Array,
+        bc: dict[str, Array],
+        temf: Array | None = None,
+    ) -> dict[str, Array]:
+        """Fluxes plus radiances at user angles/depths.
+
+        Computes all azimuthal modes m = 0..nstr-1 (cdisort iterates to
+        convergence; a static graph computes the full set) and assembles
+
+            u(tau, mu, phi) = sum_m u^m(tau, mu) cos(m (phi0 - phi)).
+
+        Angles come from ``options.user_mu`` (signed, >0 up — DISORT's UMU
+        convention) or default to the quadrature angles; output depths from
+        ``options.user_tau`` (cumulative *unscaled* optical depth, top-down)
+        or default to every level.
+
+        Returns dict with:
+          ``flux``: as :meth:`forward`;
+          ``uu``: radiances ``(nwave, ncol, ntau, nphi, numu)``;
+          ``uum``: azimuthal components ``(nmode, nwave, ncol, ntau, numu)``
+            (cdisort's ``output_uum``).
+        Level/tau ordering of ``uu`` follows user_tau order (top-down
+        cumulative depths), matching pydisort's ``gather_rad``.
+        """
+        from . import intensity as _intensity
+
+        pr = self._prepare(prop, bc, temf)
+        dtype = pr["dtype"]
+        nwave, ncol, L, Bflat = pr["nwave"], pr["ncol"], pr["L"], pr["B"]
+        taucum_s = pr["taucum_s"]
+        umu0, fbeam, albedo = pr["umu0"], pr["fbeam"], pr["albedo"]
+
+        user_mu = list(self.options.user_mu)
+        if not user_mu:
+            mus = list(self._ang0.mu)
+            user_mu = [-m for m in reversed(mus)] + mus
+        user_phi = list(self.options.user_phi) or [0.0]
+        user_tau = list(self.options.user_tau)  # may be empty -> levels
+
+        g_unscaled = None  # for future TMS correction
+        nmode = self.nstr
+        uum_levels = []   # per mode: (numu, L+1, B)
+        flux = None
+
+        lmax = max(self.nmom, self.nstr - 1)
+        for m in range(nmode):
+            ang = make_static_angles(self.nstr, self.nmom, m)
+            md = self._solve_mode(pr, ang, thermal=(m == 0))
+            if m == 0:
+                flux = self._fluxes_from_mode0(pr, md)
+                # surface/TOA boundary intensities for the sweeps
+                dn_srf_diff = self._last["dn_all"][:, -1]     # (N, B)
+                wmu_np = ang.w * ang.mu
+                dn_flux = 2.0 * jnp.pi * _uwdot_static(wmu_np, dn_srf_diff)
+                dir_flux = umu0 * fbeam * jnp.exp(-taucum_s[-1] / umu0)
+                surf_int = (albedo / jnp.pi * (dn_flux + dir_flux)
+                            + (1.0 - albedo) * pr["bsurf"])
+                top_int = pr["fisot"] + pr["btop"]
+            else:
+                surf_int = jnp.zeros((Bflat,), dtype)
+                top_int = jnp.zeros((Bflat,), dtype)
+
+            chi = _intensity._chi_tables(
+                md["sol"], md["zp"], md["zm"], md["y0p"], md["y0m"],
+                md["y1"], ang)
+            g_coef = _solver._moment_coeffs(
+                pr["ssa_s"], pr["pmom_s"], ang, dtype)
+            lam0_mu0 = _solver.lepoly(umu0, m, ang.lam_tables.shape[0] - 1)
+            # lam0 at -mu0 parity applied inside source coeffs via ang.parity
+            lam0_list = [lam0_mu0[l] for l in range(lam0_mu0.shape[0])]
+
+            per_mu = []
+            for mu_u in user_mu:
+                SA, SB, SZ, S0, S1 = _intensity._source_coeffs_for_mu(
+                    float(mu_u), chi, g_coef, pr["ssa_s"], fbeam, umu0,
+                    lam0_list, pr["b_top_lay"] if m == 0 else jnp.zeros_like(pr["b_top_lay"]),
+                    pr["slope"] if m == 0 else jnp.zeros_like(pr["slope"]),
+                    ang)
+                lvl = _intensity.sweep_intensity(
+                    float(mu_u), md["a"], md["b"], SA, SB, SZ, S0, S1,
+                    md["sol"], taucum_s, umu0, surf_int, top_int)
+                per_mu.append(lvl)                     # (L+1, B)
+            uum_levels.append(jnp.stack(per_mu, axis=0))  # (numu, L+1, B)
+
+        uum = jnp.stack(uum_levels, axis=0)   # (nmode, numu, L+1, B)
+
+        # -- user taus: interpolate/partial-sweep (default: all levels) --
+        if user_tau:
+            # map unscaled user tau -> level-bracketing scaled position and
+            # linearly blend the two adjacent level intensities in tau
+            taus = jnp.asarray(np.asarray(user_tau, np.float64), dtype)
+            taucum_u = pr["taucum_u"]                   # (L+1, B)
+            out_taus = []
+            for t in list(np.asarray(user_tau, np.float64)):
+                tq = jnp.asarray(t, dtype)
+                il = jnp.clip(
+                    jnp.sum((taucum_u[:-1] <= tq).astype(jnp.int32), axis=0)
+                    - 1, 0, L - 1)                      # (B,)
+                t0 = jnp.take_along_axis(taucum_u, il[None], axis=0)[0]
+                t1 = jnp.take_along_axis(taucum_u, il[None] + 1, axis=0)[0]
+                wgt = jnp.where(t1 > t0, (tq - t0) / jnp.where(t1 > t0, t1 - t0, 1.0), 0.0)
+                wgt = jnp.clip(wgt, 0.0, 1.0)
+                v0 = jnp.take_along_axis(
+                    uum, il[None, None, None], axis=2)[:, :, 0]
+                v1 = jnp.take_along_axis(
+                    uum, il[None, None, None] + 1, axis=2)[:, :, 0]
+                out_taus.append((1.0 - wgt) * v0 + wgt * v1)
+            uum_t = jnp.stack(out_taus, axis=2)         # (nmode, numu, ntau, B)
+        else:
+            uum_t = uum                                 # taus = all levels
+
+        # -- azimuthal assembly --
+        phi0 = pr["phi0"]                               # (B,)
+        ntau = uum_t.shape[2]
+        numu = uum_t.shape[1]
+        uu_phi = []
+        for phi in user_phi:
+            acc = uum_t[0]
+            for m in range(1, nmode):
+                acc = acc + uum_t[m] * jnp.cos(m * (phi0 - phi))[None, None, :]
+            uu_phi.append(acc)                          # (numu, ntau, B)
+        uu = jnp.stack(uu_phi, axis=0)                  # (nphi, numu, ntau, B)
+        uu = jnp.transpose(uu, (3, 2, 0, 1))            # (B, ntau, nphi, numu)
+        uu = uu.reshape(nwave, ncol, ntau, len(user_phi), numu)
+
+        uum_out = jnp.transpose(uum_t, (0, 3, 2, 1)).reshape(
+            nmode, nwave, ncol, ntau, numu)
+
+        self._rad = uu
+        return dict(flux=flux, uu=uu, uum=uum_out,
+                    user_mu=tuple(user_mu), user_phi=tuple(user_phi))
+
+    def gather_rad(self):
+        """Radiances from the last :meth:`intensities` call (pydisort's
+        ``get_rad`` equivalent)."""
+        if self._rad is None:
+            raise RuntimeError("call intensities() first")
+        return self._rad
 
     # convenience accessors matching pydisort's API surface -----------------
 

@@ -22,12 +22,26 @@ from numpy.polynomial.legendre import legval
 from .sos import double_gauss, phase_matrix
 
 
+def phase_matrix_m(moments, mu_i, mu_j, m):
+    """Azimuthal mode-m phase matrix via normalized assoc. Legendre."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+    from pyharp_tpu.rt.disort.legendre import lepoly_static
+
+    lmax = len(moments) - 1
+    lam_i = lepoly_static(np.atleast_1d(mu_i), m, lmax)
+    lam_j = lepoly_static(np.atleast_1d(mu_j), m, lmax)
+    coef = (2 * np.arange(lmax + 1) + 1) * np.asarray(moments)
+    return np.einsum("l,li,lj->ij", coef, lam_i, lam_j)
+
+
 def solve_dense(
     dtau, ssa, moments,       # top-down layers: (L,), (L,), (L, nmom+1)
     n_half=4,
     fbeam=0.0, mu0=0.5,
     albedo=0.0, fisot=0.0,
     b_top=None, b_slope=None, b_surface=0.0, b_toptemis=0.0,
+    mode=0,
 ):
     nlyr = len(dtau)
     mu, w = double_gauss(n_half)
@@ -39,10 +53,15 @@ def solve_dense(
 
     # per-layer structures
     eigvals = []; eigvecs = []; Zs = []; Y0s = []; Y1s = []
+    def pmat(mom, a_, b_):
+        if mode == 0:
+            return phase_matrix(mom, a_, b_)
+        return phase_matrix_m(mom, a_, b_, mode)
+
     for n in range(nlyr):
         m = np.asarray(moments[n])
-        Pp = phase_matrix(m, mu, mu)
-        Pm = phase_matrix(m, mu, -mu)
+        Pp = pmat(m, mu, mu)
+        Pm = pmat(m, mu, -mu)
         A = ssa[n] / 2 * Pp * w[None, :]
         B = ssa[n] / 2 * Pm * w[None, :]
         Msys = np.block([[Minv @ (I - A), -Minv @ B],
@@ -52,8 +71,9 @@ def solve_dense(
         eigvals.append(lam); eigvecs.append(V)
 
         if fbeam > 0:
-            qp = ssa[n] * fbeam / (4 * np.pi) * phase_matrix(m, mu, np.array([-mu0]))[:, 0]
-            qm = ssa[n] * fbeam / (4 * np.pi) * phase_matrix(m, -mu, np.array([-mu0]))[:, 0]
+            scale = ssa[n] * fbeam / (4 * np.pi) * (2.0 if mode > 0 else 1.0)
+            qp = scale * pmat(m, mu, np.array([-mu0]))[:, 0]
+            qm = scale * pmat(m, -mu, np.array([-mu0]))[:, 0]
             qvec = np.concatenate([Minv @ qp, -Minv @ qm])
             Z = np.linalg.solve(-np.eye(2 * N) / mu0 - Msys, -qvec)
         else:
@@ -127,4 +147,14 @@ def solve_dense(
         flup[lvl] = 2 * np.pi * np.sum(wmu * u[:N])
         rfldn[lvl] = 2 * np.pi * np.sum(wmu * u[N:])
     rfldir = (mu0 * fbeam * np.exp(-taucum / mu0)) if fbeam > 0 else np.zeros(nlyr + 1)
-    return dict(flup=flup, rfldn=rfldn, rfldir=rfldir)
+
+    Iup = np.zeros((nlyr + 1, N))
+    Idn = np.zeros((nlyr + 1, N))
+    for lvl in range(nlyr + 1):
+        n = min(lvl, nlyr - 1)
+        t = 0.0 if lvl < nlyr else dtau[nlyr - 1]
+        u = basis(n, t) @ c[2 * N * n:2 * N * (n + 1)] + particular(n, t)
+        Iup[lvl] = u[:N]
+        Idn[lvl] = u[N:]
+    return dict(flup=flup, rfldn=rfldn, rfldir=rfldir, Iup=Iup, Idn=Idn,
+                mu=mu, w=w)
