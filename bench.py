@@ -66,6 +66,12 @@ def build_problem(ncol, nwave=8, nlyr=100, nstr=8, dtype=None):
 def main():
     import jax
 
+    # persistent compile cache: the first compile of the full solver graph is
+    # expensive on the remote TPU compiler; subsequent runs (including the
+    # driver's) hit the cache
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     backend = jax.default_backend()
     # size the batch to the platform (HBM-fitting on one v5e chip)
     ncol = 8192 if backend != "cpu" else 128

@@ -35,6 +35,8 @@ from ..interp.layer2level import Layer2LevelOptions, layer2level
 from ..opacity.base import AttenuatorOptions
 from ..opacity.aerosol import S8Fuller, H2SO4Simple
 from ..opacity.rfm import RFM
+from ..opacity.cia import H2H2CIA, H2HeCIA
+from ..opacity.clouds import SimpleCloud, Grey
 from ..rt.disort.disort import Disort, DisortOptions
 from ..rt.beer_lambert import BeerLambert, BeerLambertOptions
 from ..utils.directions import parse_radiation_directions, get_direction_grids
@@ -46,6 +48,10 @@ _ATTENUATOR_BUILDERS = {
     "h2so4_simple": lambda op, dtype: H2SO4Simple(op, dtype=dtype),
     # reference typo, accepted deliberately (radiation_band.cpp:45)
     "h2sO4_simple": lambda op, dtype: H2SO4Simple(op, dtype=dtype),
+    "h2_h2_cia": lambda op, dtype: H2H2CIA(op, dtype=dtype),
+    "h2_he_cia": lambda op, dtype: H2HeCIA(op, dtype=dtype),
+    "simple_cloud": lambda op, dtype: SimpleCloud(op, dtype=dtype),
+    "grey": lambda op, dtype: Grey(op, dtype=dtype),
 }
 
 

@@ -40,9 +40,23 @@ _CLASS_MAP = {
     "H2SO4Simple": "h2so4_simple",
     "XIZ-H2-H2-CIA": "h2_h2_cia",
     "XIZ-H2-He-CIA": "h2_he_cia",
-    "FreedmanSimple": "freedman_simple",
-    "FreedmanMean": "freedman_mean",
     "SimpleCloud": "simple_cloud",
+    "Grey": "grey",
+    # Legacy CANOE classes whose data/fit tables are host-model specific;
+    # registered for parity with absorber_factory.cpp_:81-118 — constructing
+    # them raises with guidance until their tables are supplied via
+    # register_attenuator().
+    "FreedmanSimple": "freedman_simple",
+    "FreedmanSimple2": "freedman_simple",
+    "FreedmanMean": "freedman_mean",
+    "FreedmanMean2": "freedman_mean",
+    "HeliosCK": "rfm",
+    "radio-NH3": "radio_nh3",
+    "radio-H2O": "radio_h2o",
+    "radio-H2S": "radio_h2s",
+    "radio-PH3": "radio_ph3",
+    "radio-CIA": "radio_cia",
+    "radio-Electron": "radio_electron",
 }
 
 _BAND_FLAG_MAP = {

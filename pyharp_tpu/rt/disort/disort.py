@@ -219,7 +219,7 @@ class Disort:
 
         return dict(
             dtype=dtype, nwave=nwave, ncol=ncol, L=L, B=Bflat,
-            tau=tau, ssa=ssa, pmom=pmom,
+            tau=tau, ssa=ssa, pmom=pmom, f_dm=f,
             tau_s=tau_s, ssa_s=ssa_s, pmom_s=pmom_s,
             taucum_s=taucum_s, taucum_u=taucum_u,
             fbeam=fbeam, umu0=umu0, albedo=albedo, fisot=fisot, phi0=phi0,
@@ -478,15 +478,54 @@ class Disort:
         else:
             uum_t = uum                                 # taus = all levels
 
-        # -- azimuthal assembly --
+        # -- azimuthal assembly (+ optional TMS intensity correction) --
         phi0 = pr["phi0"]                               # (B,)
         ntau = uum_t.shape[2]
         numu = uum_t.shape[1]
+        apply_tms = (self.options.has("intensity_correction")
+                     and self.options.deltam and pr["pmom"].shape[1] > 0)
         uu_phi = []
         for phi in user_phi:
             acc = uum_t[0]
             for m in range(1, nmode):
                 acc = acc + uum_t[m] * jnp.cos(m * (phi0 - phi))[None, None, :]
+            if apply_tms:
+                # Nakajima-Tanaka TMS: replace truncated single scattering
+                # with the exact-phase one (cdisort's intensity_correction /
+                # old_intensity_correction path; the IMS secondary correction
+                # for strongly peaked phases is not yet implemented)
+                ones = jnp.ones((pr["L"], 1, Bflat), dtype)
+                g_uns = jnp.concatenate([ones, pr["pmom"]], axis=1)
+                g_scl = jnp.concatenate([ones, pr["pmom_s"]], axis=1)
+                corr_mu = []
+                for mu_u in user_mu:
+                    corr_lvl = _intensity.tms_correction(
+                        float(mu_u), float(phi), g_uns, g_scl,
+                        pr["ssa"], pr["ssa_s"], pr["f_dm"], self.nstr,
+                        taucum_s, fbeam, umu0, phi0)
+                    corr_mu.append(corr_lvl)            # (L+1, B)
+                corr = jnp.stack(corr_mu, axis=0)       # (numu, L+1, B)
+                if user_tau:
+                    # same linear-in-tau blend as the radiances
+                    taucum_u2 = pr["taucum_u"]
+                    sel = []
+                    for t in list(np.asarray(user_tau, np.float64)):
+                        tq = jnp.asarray(t, dtype)
+                        il = jnp.clip(
+                            jnp.sum((taucum_u2[:-1] <= tq).astype(jnp.int32),
+                                    axis=0) - 1, 0, L - 1)
+                        t0 = jnp.take_along_axis(taucum_u2, il[None], axis=0)[0]
+                        t1 = jnp.take_along_axis(taucum_u2, il[None] + 1,
+                                                 axis=0)[0]
+                        wgt = jnp.clip(jnp.where(
+                            t1 > t0, (tq - t0) / jnp.where(t1 > t0, t1 - t0, 1.0),
+                            0.0), 0.0, 1.0)
+                        v0 = jnp.take_along_axis(corr, il[None, None], axis=1)[:, 0]
+                        v1 = jnp.take_along_axis(corr, il[None, None] + 1,
+                                                 axis=1)[:, 0]
+                        sel.append((1.0 - wgt) * v0 + wgt * v1)
+                    corr = jnp.stack(sel, axis=1)       # (numu, ntau, B)
+                acc = acc + corr
             uu_phi.append(acc)                          # (numu, ntau, B)
         uu = jnp.stack(uu_phi, axis=0)                  # (nphi, numu, ntau, B)
         uu = jnp.transpose(uu, (3, 2, 0, 1))            # (B, ntau, nphi, numu)

@@ -194,3 +194,87 @@ def sweep_intensity(
         _, lvl = lax.scan(step, top_value, (att, emis))
         levels = jnp.concatenate([top_value[None], lvl], axis=0)
     return levels
+
+
+def single_scatter_sweep(mu_u: float, amp, taucum, mu0, dtype):
+    """Beam single-scattering intensity at all levels for signed mu_u.
+
+    amp: per-layer source amplitude (L, B) — e.g. (F0/4pi) w0 p(Theta).
+    Uses the same closed-form layer weights as :func:`sweep_intensity` with
+    only the beam term active and zero boundary values (the TMS correction
+    excludes surface-reflected light, matching cdisort's SECSCA/TMS).
+    Returns (L+1, B).
+    """
+    m = abs(mu_u)
+    dt = taucum[1:] - taucum[:-1]
+    att = jnp.exp(-dt / m)
+    beam_top = jnp.exp(-taucum[:-1] / mu0[None])
+    eps = jnp.asarray(1e-5 if dtype == jnp.float32 else 1e-10, dtype)
+
+    if mu_u > 0:
+        w_lay = beam_top * (1.0 - att * jnp.exp(-dt / mu0[None])) / (
+            1.0 + m / mu0[None])
+    else:
+        w_lay = beam_top * _safe_div(
+            jnp.exp(-dt / mu0[None]) - att,
+            1.0 - m / mu0[None],
+            (dt / m) * att, eps)
+    emis = amp * w_lay
+
+    def step(carry, xs):
+        at, em = xs
+        new = carry * at + em
+        return new, new
+
+    B = taucum.shape[1]
+    zero = jnp.zeros((B,), dtype)
+    if mu_u > 0:
+        _, lvl = lax.scan(step, zero, (att[::-1], emis[::-1]))
+        return jnp.concatenate([lvl[::-1], zero[None]], axis=0)
+    _, lvl = lax.scan(step, zero, (att, emis))
+    return jnp.concatenate([zero[None], lvl], axis=0)
+
+
+def legendre_sum(coeffs_static_l, g_data, cos_t, lmax):
+    """sum_l (2l+1) g_l P_l(cos_t): g_data (L, G, B), cos_t (B,) -> (L, B)."""
+    P = lepoly(cos_t, 0, lmax)        # (lmax+1, B), m=0 => plain Legendre
+    acc = None
+    for l in range(lmax + 1):
+        if l >= g_data.shape[1]:
+            break
+        term = (2 * l + 1) * g_data[:, l, :] * P[l][None, :]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def tms_correction(
+    mu_u: float, phi: float,
+    g_unscaled,    # (L, G, B) moments incl. g_0 = 1 (unscaled)
+    g_scaled,      # (L, G', B) delta-M scaled moments incl. g_0 = 1
+    ssa, ssa_s,    # (L, B) unscaled / scaled single-scattering albedo
+    f_dm,          # (L, B) delta-M truncation fraction
+    nstr: int,
+    taucum_s, fbeam, mu0, phi0,
+):
+    """Nakajima-Tanaka TMS correction at all levels for one (mu_u, phi).
+
+    corr = I_ss[exact phase, amp = w0 p / (1 - w0 f)]
+         - I_ss[truncated phase, amp = w0' p'],
+    both along the delta-M scaled optical depth (N&T 1988; cdisort SECSCA).
+    Returns (L+1, B).
+    """
+    dtype = ssa.dtype
+    sin_u = np.sqrt(max(1.0 - mu_u * mu_u, 0.0))
+    sin0 = jnp.sqrt(jnp.maximum(1.0 - mu0 * mu0, 0.0))
+    cos_t = -mu_u * mu0 + sin_u * sin0 * jnp.cos(phi0 - phi)
+
+    lmax_full = g_unscaled.shape[1] - 1
+    p_exact = legendre_sum(None, g_unscaled, cos_t, lmax_full)
+    p_trunc = legendre_sum(None, g_scaled[:, :nstr], cos_t, nstr - 1)
+
+    amp_exact = (fbeam[None] / (4 * jnp.pi)) * ssa * p_exact / (
+        1.0 - ssa * f_dm)
+    amp_trunc = (fbeam[None] / (4 * jnp.pi)) * ssa_s * p_trunc
+    exact = single_scatter_sweep(mu_u, amp_exact, taucum_s, mu0, dtype)
+    trunc = single_scatter_sweep(mu_u, amp_trunc, taucum_s, mu0, dtype)
+    return exact - trunc

@@ -68,3 +68,35 @@ def lu_solve(A, b):
     if vec:
         out = out[:, 0]
     return out
+
+
+def cholesky_lower(A, floor=1e-30):
+    """Batched Cholesky of tiny SPD matrices, scalarized.
+
+    Args:
+      A: ``(n, n, *batch)`` symmetric positive definite (diagonal floored).
+
+    Returns:
+      ``L`` of shape ``(n, n, *batch)`` lower-triangular with
+      ``A ~= L L^T``.  Unrolled over the static dimension — ~n^3/6 fused
+      VPU ops, an order of magnitude cheaper than an eigendecomposition
+      when only a symmetric square-root factor is needed.
+    """
+    n = A.shape[0]
+    Lc = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = A[j, j]
+        for k in range(j):
+            d = d - Lc[j][k] * Lc[j][k]
+        d = jnp.sqrt(jnp.maximum(d, floor))
+        Lc[j][j] = d
+        inv = 1.0 / d
+        for i in range(j + 1, n):
+            v = A[i, j]
+            for k in range(j):
+                v = v - Lc[i][k] * Lc[j][k]
+            Lc[i][j] = v * inv
+    zero = jnp.zeros_like(A[0, 0])
+    rows = [jnp.stack([Lc[i][j] if j <= i else zero for j in range(n)], axis=0)
+            for i in range(n)]
+    return jnp.stack(rows, axis=0)

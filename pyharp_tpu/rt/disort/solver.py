@@ -47,7 +47,7 @@ import numpy as np
 from jax import lax
 
 from .jacobi import jacobi_eigh
-from .linsolve import lu_solve
+from .linsolve import lu_solve, cholesky_lower
 from .legendre import lepoly, lepoly_static
 from .quadrature import gauss_half_range
 
@@ -253,19 +253,17 @@ def homogeneous_solution(
     Uhat = hat(Se)
     Vhat = hat(So)
 
-    # Uhat^1/2 via its own eigendecomposition (robust near w0 -> 1)
-    ew, Q = jacobi_eigh(Uhat)
-    ew = jnp.maximum(ew, jnp.asarray(1e-12, dtype))
-    sq = jnp.sqrt(ew)
-    Uh = _uquad(Q, sq)
-
-    K = _mm(Uh, _mm(Vhat, Uh))                     # symmetric
+    # Uhat = Lc Lc^T (SPD for w0 <= 1 - dither); then Uhat Vhat is similar
+    # to the symmetric Lc^T Vhat Lc — one Cholesky + one Jacobi instead of
+    # two Jacobi eigendecompositions (the eigensolve dominates runtime)
+    Lc = cholesky_lower(Uhat, floor=1e-12)
+    K = _umm(jnp.swapaxes(Lc, 0, 1), _mm(Vhat, Lc))  # symmetric
     lam2, Y = jacobi_eigh(K)
     lam2 = jnp.maximum(lam2, jnp.asarray(1e-12, dtype))
     lam = jnp.sqrt(lam2)                           # (N, L, B)
 
-    # d-eigenvectors of (alpha-beta)(alpha+beta): d = M^-1/2 W^-1/2 Uh Y
-    X = _mm(Uh, Y)
+    # d-eigenvectors of (alpha-beta)(alpha+beta): d = M^-1/2 W^-1/2 Lc Y
+    X = _mm(Lc, Y)
     D = X / (sqm * sqw)[:, None, None, None]
 
     # s = -(1/lam) M^-1 V d,  V = I - (w0/2)(D+ - D-) W = I - w0 So W
