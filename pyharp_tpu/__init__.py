@@ -39,5 +39,30 @@ from .tables.rfm import read_weights_rfm, load_rfm_table, write_rfm_table
 from .opacity.base import AttenuatorOptions
 from .opacity.aerosol import S8Fuller, H2SO4Simple, SimpleAerosol
 from .opacity.rfm import RFM
+from .opacity.cia import XizCIA, H2H2CIA, H2HeCIA
+from .opacity.clouds import SimpleCloud, Grey
+from .rt import (
+    Disort,
+    DisortOptions,
+    BeerLambert,
+    BeerLambertOptions,
+    PhaseMomentOptions,
+    scattering_moments,
+)
+from .radiation import (
+    Radiation,
+    RadiationOptions,
+    RadiationBand,
+    RadiationBandOptions,
+    register_attenuator,
+    create_radiation_options,
+    shared,
+)
+from .parallel import make_radiation_mesh, init_distributed
+from .utils import (
+    parse_radiation_directions,
+    get_direction_grids,
+    spherical_flux_correction,
+)
 
 __version__ = "0.1.0"
