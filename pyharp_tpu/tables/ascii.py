@@ -2,8 +2,9 @@
 
 Parity with the reference file IO helpers
 (``/root/reference/src/utils/fileio.cpp:28-133``): comment stripping,
-column/row counting, and column-mapped data reading.  numpy replaces the
-hand-rolled parsing loops.
+column/row counting, and column-mapped data reading.  The hot path
+(``read_data_table``) uses the native C++ parser from ``csrc/`` when the
+library is available, with this module's numpy implementation as fallback.
 """
 
 from __future__ import annotations
@@ -12,6 +13,7 @@ import io
 
 import numpy as np
 
+from .. import _native
 from .resource import find_resource
 
 
@@ -33,6 +35,8 @@ def read_data_table(name: str) -> np.ndarray:
     Returns float64 array of shape (rows, cols).
     """
     path = find_resource(name)
+    if _native.available():
+        return _native.read_table(path)
     text = decomment_file(path)
     data = np.loadtxt(io.StringIO(text), dtype=np.float64, ndmin=2)
     if data.size == 0:
