@@ -95,7 +95,19 @@ class RadiationBand:
         for name, aop in options.attenuators:
             builder = _ATTENUATOR_BUILDERS.get(aop.type)
             if builder is None:
-                raise ValueError(f"Unknown attenuator type: {aop.type}")
+                known = ", ".join(sorted(_ATTENUATOR_BUILDERS))
+                hint = ""
+                if aop.type.startswith(("freedman", "radio")):
+                    # legacy CANOE classes (absorber_factory.cpp_:81-118) whose
+                    # fit tables are host-model specific and not shipped with
+                    # the reference either
+                    hint = (" — this legacy class needs host-model data; "
+                            "supply a table-backed builder via "
+                            "pyharp_tpu.radiation.register_attenuator"
+                            f"('{aop.type}', builder)")
+                raise ValueError(
+                    f"Unknown attenuator type: {aop.type!r} (registered: "
+                    f"{known}){hint}")
             a = builder(aop, dtype)
             nmax_prop = max(nmax_prop, a.nprop)
             self.attenuators[name] = a

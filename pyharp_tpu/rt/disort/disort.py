@@ -482,7 +482,8 @@ class Disort:
         phi0 = pr["phi0"]                               # (B,)
         ntau = uum_t.shape[2]
         numu = uum_t.shape[1]
-        apply_tms = (self.options.has("intensity_correction")
+        apply_tms = ((self.options.has("intensity_correction")
+                      or self.options.has("old_intensity_correction"))
                      and self.options.deltam and pr["pmom"].shape[1] > 0)
         uu_phi = []
         for phi in user_phi:
@@ -490,10 +491,11 @@ class Disort:
             for m in range(1, nmode):
                 acc = acc + uum_t[m] * jnp.cos(m * (phi0 - phi))[None, None, :]
             if apply_tms:
-                # Nakajima-Tanaka TMS: replace truncated single scattering
-                # with the exact-phase one (cdisort's intensity_correction /
-                # old_intensity_correction path; the IMS secondary correction
-                # for strongly peaked phases is not yet implemented)
+                # Nakajima-Tanaka corrections (cdisort's intensity_correction
+                # / old_intensity_correction path): TMS replaces truncated
+                # single scattering with the exact-phase one; IMS (below, for
+                # downward directions) removes the over-counted secondary
+                # scattering of the delta-M spike
                 ones = jnp.ones((pr["L"], 1, Bflat), dtype)
                 g_uns = jnp.concatenate([ones, pr["pmom"]], axis=1)
                 g_scl = jnp.concatenate([ones, pr["pmom_s"]], axis=1)
@@ -503,6 +505,13 @@ class Disort:
                         float(mu_u), float(phi), g_uns, g_scl,
                         pr["ssa"], pr["ssa_s"], pr["f_dm"], self.nstr,
                         taucum_s, fbeam, umu0, phi0)
+                    if mu_u < 0:
+                        # IMS secondary-scattering correction (DISORT INTCOR
+                        # applies it alongside TMS for downward directions)
+                        corr_lvl = corr_lvl - _intensity.ims_correction(
+                            float(mu_u), float(phi), g_uns,
+                            pr["ssa"], pr["f_dm"], pr["tau"], pr["taucum_u"],
+                            self.nstr, fbeam, umu0, phi0)
                     corr_mu.append(corr_lvl)            # (L+1, B)
                 corr = jnp.stack(corr_mu, axis=0)       # (numu, L+1, B)
                 if user_tau:

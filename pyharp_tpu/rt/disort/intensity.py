@@ -247,6 +247,93 @@ def legendre_sum(coeffs_static_l, g_data, cos_t, lmax):
     return acc
 
 
+def ims_correction(
+    mu_u: float, phi: float,
+    g_unscaled,    # (L, G, B) moments incl. g_0 = 1 (unscaled)
+    ssa,           # (L, B) unscaled single-scattering albedo
+    f_dm,          # (L, B) delta-M truncation fraction
+    tau_u,         # (L, B) unscaled layer optical thickness
+    taucum_u,      # (L+1, B) unscaled cumulative depth
+    nstr: int,
+    fbeam, mu0, phi0,
+):
+    """Nakajima-Tanaka IMS secondary-scattering correction (N&T 1988 eq. 17;
+    DISORT's SECSCA / STWL eq. A.13) at all levels for one (mu_u, phi).
+
+    Delta-M both removes the forward spike from single scattering (fixed by
+    TMS) and over-counts its *double* scattering; IMS subtracts the estimated
+    doubly-scattered spike intensity.  It applies only to downward viewing
+    directions (mu_u < 0), where the forward spike chains along the beam.
+
+    The depth kernel is the exact double-scattering path integral (both
+    scatterings forward along the effective beam direction
+    mu0' = mu0 / (1 - fbar wbar), final leg at u = |mu_u|):
+
+      chi(tau) = (1 / (u mu0')) int_0^tau t' e^{-t'/mu0'} e^{-(tau-t')/u} dt'
+               = e^{-tau/u} tau^2 g(a tau) / (u mu0'),
+      a = 1/mu0' - 1/u,   g(x) = (1 - e^{-x}(1 + x)) / x^2,
+
+    which reproduces cdisort's xi-function in its mu2 == mu3 case (the only
+    case IMS uses).  The spike's angular factor is the Legendre series of
+    (2 p-hat - p-hat (*) p-hat): sum_k (2k+1)(2 ghat_k - ghat_k^2) P_k, with
+    ghat_k = 1 for k < nstr and the tau*ssa-weighted normalized moment above
+    the level otherwise — vertical averaging as in SECSCA.
+
+    Returns the (L+1, B) intensity to SUBTRACT from the TMS-corrected field.
+    """
+    if mu_u >= 0:
+        raise ValueError("IMS applies to downward directions only")
+    dtype = ssa.dtype
+    u = -mu_u
+    L, B = ssa.shape
+    G = g_unscaled.shape[1]
+
+    sin_u = np.sqrt(max(1.0 - mu_u * mu_u, 0.0))
+    sin0 = jnp.sqrt(jnp.maximum(1.0 - mu0 * mu0, 0.0))
+    cos_t = -mu_u * mu0 + sin_u * sin0 * jnp.cos(phi0 - phi)
+
+    wd = ssa * tau_u                                   # (L, B)
+    zero1 = jnp.zeros((1, B), dtype)
+    wsum = jnp.concatenate([zero1, jnp.cumsum(wd, 0)], 0)          # (L+1, B)
+    fsum = jnp.concatenate([zero1, jnp.cumsum(wd * f_dm, 0)], 0)   # (L+1, B)
+    ztau = taucum_u                                                 # (L+1, B)
+
+    ok = (wsum > 0) & (fsum > 0) & (ztau > 0)
+    wsum_s = jnp.where(ok, wsum, 1.0)
+    fsum_s = jnp.where(ok, fsum, 1.0)
+    ztau_s = jnp.where(ok, ztau, 1.0)
+    fbar = fsum_s / wsum_s
+    wbar = wsum_s / ztau_s
+    fw = jnp.clip(fbar * wbar, 0.0, 1.0 - 1e-6)
+
+    # spike angular factor, per level (vertical averaging of ghat for k>=nstr)
+    P = lepoly(cos_t, 0, G - 1)                        # (G, B)
+    pspike = jnp.zeros((L + 1, B), dtype)
+    for k in range(min(nstr, G)):
+        pspike = pspike + (2 * k + 1) * P[k][None, :]
+    for k in range(nstr, G):
+        gk = jnp.concatenate(
+            [zero1, jnp.cumsum(wd * g_unscaled[:, k, :], 0)], 0)
+        ghat = gk / fsum_s
+        pspike = pspike + (2 * k + 1) * (2.0 * ghat - ghat * ghat) * P[k][None, :]
+
+    # depth kernel chi along the effective (de-scaled) beam direction
+    mu0p = mu0[None, :] / (1.0 - fw)
+    a = 1.0 / mu0p - 1.0 / u
+    x = a * ztau_s
+    small = jnp.abs(x) < 0.1
+    x_s = jnp.where(small, 0.0, x)
+    g_direct = (-jnp.expm1(-x_s) - x_s * jnp.exp(-x_s)) / jnp.where(
+        small, 1.0, x_s * x_s)
+    g_series = 0.5 - x / 3.0 + x * x / 8.0 - x ** 3 / 30.0
+    gx = jnp.where(small, g_series, g_direct)
+    chi = jnp.exp(-ztau_s / u) * ztau_s * ztau_s * gx / (u * mu0p)
+
+    out = (fbeam[None, :] / (4.0 * jnp.pi)) * (fw * fw / (1.0 - fw)) \
+        * pspike * chi
+    return jnp.where(ok, out, 0.0)
+
+
 def tms_correction(
     mu_u: float, phi: float,
     g_unscaled,    # (L, G, B) moments incl. g_0 = 1 (unscaled)

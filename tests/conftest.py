@@ -3,12 +3,19 @@
 Multi-chip sharding is validated on a virtual CPU mesh (the reference had no
 distributed tests at all, SURVEY.md section 4); numeric oracle comparisons run
 in float64 on CPU.
+
+NOTE: in the axon TPU environment, ``sitecustomize`` imports and initializes
+jax at interpreter startup (to register the TPU tunnel plugin), which latches
+the CPU device count at 1 before any conftest code can run — the
+``XLA_FLAGS=--xla_force_host_platform_device_count`` below is then silently
+ignored and the suite runs single-device.  Multi-device tests
+(tests/test_parallel.py) detect this and re-run themselves in a clean
+subprocess with the hook disabled (pytest's fd-level capture makes an exec
+of the whole test process silently swallow all output, so per-test
+subprocessing is the robust fix).
 """
 import os
 
-# Hard override: the surrounding environment may pin JAX_PLATFORMS to the
-# real TPU tunnel (the "axon" plugin ignores the env var); unit tests always
-# run on the virtual CPU mesh, forced via jax.config below.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
