@@ -39,8 +39,9 @@ def build_problem(ncol, nwave=8, nlyr=100, nstr=8, dtype=None):
     prop = np.zeros((nwave, ncol, nlyr, 2), np.float32)
     prop[..., 0] = rng.uniform(0.001, 0.8, (nwave, ncol, nlyr))
     prop[..., 1] = rng.uniform(0.0, 0.6, (nwave, ncol, nlyr))
+    # thermal-only LW config: no fbeam key -> the solver statically skips the
+    # beam particular solution (matching cdisort's fbeam == 0 fast path)
     bc = dict(
-        fbeam=np.zeros((nwave, ncol), np.float32),
         umu0=np.full((nwave, ncol), 0.5, np.float32),
         albedo=np.full((nwave, ncol), 0.1, np.float32),
         btemp=np.full((nwave, ncol), 300.0, np.float32),

@@ -11,6 +11,9 @@ from .aerosol import S8Fuller, H2SO4Simple, SimpleAerosol
 from .rfm import RFM
 from .cia import XizCIA, H2H2CIA, H2HeCIA, load_xiz_table, write_xiz_table
 from .clouds import SimpleCloud, SimpleCloudOptions, Grey
+from .freedman import FreedmanMean, FreedmanSimple, FreedmanCoeffs
+from .radio import (RadioVVWAbsorber, RadioCIA, RadioElectron, VVWLine,
+                    load_vvw_lines, vvw_shape)
 
 __all__ = [
     "Attenuator", "AttenuatorOptions",
@@ -18,4 +21,7 @@ __all__ = [
     "RFM",
     "XizCIA", "H2H2CIA", "H2HeCIA", "load_xiz_table", "write_xiz_table",
     "SimpleCloud", "SimpleCloudOptions", "Grey",
+    "FreedmanMean", "FreedmanSimple", "FreedmanCoeffs",
+    "RadioVVWAbsorber", "RadioCIA", "RadioElectron", "VVWLine",
+    "load_vvw_lines", "vvw_shape",
 ]

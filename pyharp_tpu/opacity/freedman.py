@@ -1,0 +1,151 @@
+"""Freedman mean gas opacities (grey/semi-grey giant-planet modeling).
+
+The reference's legacy absorber factory enumerates ``FreedmanSimple``,
+``FreedmanSimple2``, ``FreedmanMean``, ``FreedmanMean2``
+(``/root/reference/src/opacity/absorber_factory.cpp_:116-123``); the
+implementations live in the host model (CANOE), not in the reference repo.
+This module implements the physics those classes wrap:
+
+* **FreedmanMean** — a Rosseland-mean gas opacity surface
+  ``kappa(P, T, [M/H])`` in the spirit of the analytic fit of Freedman et
+  al. (2014), ApJS 214, 25.  The *default* coefficient set is a smooth
+  stand-in calibration reproducing the qualitative behavior of solar-
+  composition H2/He-dominated gas (kappa rising steeply with T through the
+  molecular-to-alkali transition, roughly linear in P from CIA + pressure
+  broadening, increasing with metallicity); it is NOT a transcription of
+  the paper's Table 4.  For production work pass ``kappa_fn`` evaluating
+  the published fit (or interpolating the tabulated means) — the class only
+  fixes the attenuator plumbing (units, layout, species mass density).
+* **FreedmanSimple** — a power-law opacity
+  ``kappa = k0 (P / P0)^a (T / T0)^b`` (the classic semi-grey ansatz the
+  CANOE "simple" variants configure), fully option-driven.
+
+Both return extinction [1/m] = kappa [m^2/kg] * rho_species and emit the
+standard ``(nwave, ncol, nlyr, 1)`` attenuator layout (grey: constant over
+the wave axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+from jax import Array
+
+from .base import AttenuatorOptions
+
+
+@dataclasses.dataclass(frozen=True)
+class FreedmanCoeffs:
+    """Coefficients of the default kappa surface (cgs output: cm^2/g):
+
+        log10 kappa = a0
+                      + a1 * tanh((log10 T - a2) / a3)     # T ramp
+                      + a4 * (log10 P_cgs - 6)             # ~linear in P
+                      + a5 * met                           # metallicity
+
+    Calibrated so that solar-metallicity gas gives kappa ~ 1e-4 cm^2/g at
+    (300 K, 1 bar) rising to ~1e-1 cm^2/g at (2500 K, 1 bar) with an
+    approximately linear pressure dependence — the leading-order shape of
+    the Freedman et al. (2014) Rosseland means.  A qualitative stand-in:
+    supply ``kappa_fn`` for quantitative work.
+    """
+
+    a0: float = -2.6
+    a1: float = 2.1
+    a2: float = 3.08    # transition near ~1200 K
+    a3: float = 0.33
+    a4: float = 0.50
+    a5: float = 0.35
+
+
+class FreedmanMean:
+    """Rosseland-mean gas opacity attenuator.
+
+    ``forward(conc, pres=..., temp=...)``: kappa(P, T, [M/H]) converted to
+    extinction with the attenuator species' mass density
+    ``rho = conc * species_weight``.
+
+    Args:
+      kappa_fn: optional ``(pres_Pa, temp_K) -> kappa [cm^2/g]`` override
+        (e.g. the published Freedman et al. fit or a table interpolator);
+        defaults to the :class:`FreedmanCoeffs` analytic surface.
+    """
+
+    nprop = 1
+
+    def __init__(self, options: AttenuatorOptions,
+                 met: float = 0.0,
+                 coeffs: FreedmanCoeffs = FreedmanCoeffs(),
+                 kappa_fn: Callable[[Array, Array], Array] | None = None,
+                 dtype=jnp.float32):
+        if len(options.species_ids) != 1:
+            raise ValueError("Only one species is allowed")
+        self.options = options
+        self.met = met
+        self.coeffs = coeffs
+        self.kappa_fn = kappa_fn
+        self.dtype = dtype
+
+    def kappa_cm2g(self, pres: Array, temp: Array) -> Array:
+        """Rosseland-mean kappa [cm^2/g] from P [Pa], T [K]."""
+        if self.kappa_fn is not None:
+            return self.kappa_fn(pres, temp)
+        c = self.coeffs
+        p_cgs = jnp.maximum(pres.astype(self.dtype) * 10.0, 1e-10)
+        T = jnp.maximum(temp.astype(self.dtype), 1.0)
+        lt = jnp.log10(T)
+        lp = jnp.log10(p_cgs)
+        logk = (c.a0 + c.a1 * jnp.tanh((lt - c.a2) / c.a3)
+                + c.a4 * (lp - 6.0) + c.a5 * self.met)
+        return 10.0 ** logk
+
+    def forward(self, conc: Array, **kwargs: Array) -> Array:
+        pres = jnp.asarray(kwargs["pres"], self.dtype)   # (ncol, nlyr)
+        temp = jnp.asarray(kwargs["temp"], self.dtype)
+        if "wavenumber" in kwargs:
+            nwave = kwargs["wavenumber"].shape[0]
+        elif "wavelength" in kwargs:
+            nwave = kwargs["wavelength"].shape[0]
+        else:
+            nwave = 1
+        sid = self.options.species_ids[0]
+        mw = self.options.species_weights[sid]           # kg/mol
+        rho = jnp.maximum(conc[..., sid].astype(self.dtype), 0.0) * mw
+        kappa = self.kappa_cm2g(pres, temp) * 0.1        # cm^2/g -> m^2/kg
+        att = kappa * rho                                # 1/m
+        att = jnp.broadcast_to(att[None], (nwave,) + att.shape)
+        return att[..., None]
+
+
+class FreedmanSimple:
+    """Power-law grey opacity kappa = k0 (P/P0)^a (T/T0)^b [m^2/kg]."""
+
+    nprop = 1
+
+    def __init__(self, options: AttenuatorOptions,
+                 k0: float = 1.0e-2, p0: float = 1.0e5, t0: float = 300.0,
+                 a: float = 1.0, b: float = 0.0, dtype=jnp.float32):
+        if len(options.species_ids) != 1:
+            raise ValueError("Only one species is allowed")
+        self.options = options
+        self.k0, self.p0, self.t0, self.a, self.b = k0, p0, t0, a, b
+        self.dtype = dtype
+
+    def forward(self, conc: Array, **kwargs: Array) -> Array:
+        pres = jnp.asarray(kwargs["pres"], self.dtype)
+        temp = jnp.asarray(kwargs["temp"], self.dtype)
+        if "wavenumber" in kwargs:
+            nwave = kwargs["wavenumber"].shape[0]
+        elif "wavelength" in kwargs:
+            nwave = kwargs["wavelength"].shape[0]
+        else:
+            nwave = 1
+        sid = self.options.species_ids[0]
+        mw = self.options.species_weights[sid]
+        rho = jnp.maximum(conc[..., sid].astype(self.dtype), 0.0) * mw
+        kappa = self.k0 * (pres / self.p0) ** self.a * (temp / self.t0) ** self.b
+        att = kappa * rho
+        att = jnp.broadcast_to(att[None], (nwave,) + att.shape)
+        return att[..., None]

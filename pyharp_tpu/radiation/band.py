@@ -37,6 +37,8 @@ from ..opacity.aerosol import S8Fuller, H2SO4Simple
 from ..opacity.rfm import RFM
 from ..opacity.cia import H2H2CIA, H2HeCIA
 from ..opacity.clouds import SimpleCloud, Grey
+from ..opacity.freedman import FreedmanMean, FreedmanSimple
+from ..opacity.radio import RadioVVWAbsorber, RadioCIA, RadioElectron
 from ..rt.disort.disort import Disort, DisortOptions
 from ..rt.beer_lambert import BeerLambert, BeerLambertOptions
 from ..utils.directions import parse_radiation_directions, get_direction_grids
@@ -52,6 +54,25 @@ _ATTENUATOR_BUILDERS = {
     "h2_he_cia": lambda op, dtype: H2HeCIA(op, dtype=dtype),
     "simple_cloud": lambda op, dtype: SimpleCloud(op, dtype=dtype),
     "grey": lambda op, dtype: Grey(op, dtype=dtype),
+    # legacy CANOE classes (absorber_factory.cpp_:81-139), implemented
+    # natively: Freedman mean/simple grey gas opacities and the microwave
+    # absorber family (VVW lines from data tables; analytic continua)
+    "freedman_mean": lambda op, dtype: FreedmanMean(op, dtype=dtype),
+    "freedman_simple": lambda op, dtype: FreedmanSimple(op, dtype=dtype),
+    "radio_nh3": lambda op, dtype: RadioVVWAbsorber(
+        op if op.opacity_files else op.replace(
+            opacity_files=("radio_nh3_lines.txt",)), dtype=dtype),
+    "radio_h2o": lambda op, dtype: RadioVVWAbsorber(
+        op if op.opacity_files else op.replace(
+            opacity_files=("radio_h2o_lines.txt",)), dtype=dtype),
+    "radio_h2s": lambda op, dtype: RadioVVWAbsorber(
+        op if op.opacity_files else op.replace(
+            opacity_files=("radio_h2s_lines.txt",)), dtype=dtype),
+    "radio_ph3": lambda op, dtype: RadioVVWAbsorber(
+        op if op.opacity_files else op.replace(
+            opacity_files=("radio_ph3_lines.txt",)), dtype=dtype),
+    "radio_cia": lambda op, dtype: RadioCIA(op, dtype=dtype),
+    "radio_electron": lambda op, dtype: RadioElectron(op, dtype=dtype),
 }
 
 
@@ -96,18 +117,10 @@ class RadiationBand:
             builder = _ATTENUATOR_BUILDERS.get(aop.type)
             if builder is None:
                 known = ", ".join(sorted(_ATTENUATOR_BUILDERS))
-                hint = ""
-                if aop.type.startswith(("freedman", "radio")):
-                    # legacy CANOE classes (absorber_factory.cpp_:81-118) whose
-                    # fit tables are host-model specific and not shipped with
-                    # the reference either
-                    hint = (" — this legacy class needs host-model data; "
-                            "supply a table-backed builder via "
-                            "pyharp_tpu.radiation.register_attenuator"
-                            f"('{aop.type}', builder)")
                 raise ValueError(
                     f"Unknown attenuator type: {aop.type!r} (registered: "
-                    f"{known}){hint}")
+                    f"{known}; extend via pyharp_tpu.radiation."
+                    f"register_attenuator)")
             a = builder(aop, dtype)
             nmax_prop = max(nmax_prop, a.nprop)
             self.attenuators[name] = a

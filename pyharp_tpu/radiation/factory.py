@@ -42,15 +42,12 @@ _CLASS_MAP = {
     "XIZ-H2-He-CIA": "h2_he_cia",
     "SimpleCloud": "simple_cloud",
     "Grey": "grey",
-    # Legacy CANOE classes whose data/fit tables are host-model specific;
-    # registered for parity with absorber_factory.cpp_:81-118 — constructing
-    # them raises with guidance until their tables are supplied via
-    # register_attenuator().
+    # Legacy CANOE classes (absorber_factory.cpp_:81-139), implemented
+    # natively in opacity/freedman.py and opacity/radio.py
     "FreedmanSimple": "freedman_simple",
     "FreedmanSimple2": "freedman_simple",
     "FreedmanMean": "freedman_mean",
     "FreedmanMean2": "freedman_mean",
-    "HeliosCK": "rfm",
     "radio-NH3": "radio_nh3",
     "radio-H2O": "radio_h2o",
     "radio-H2S": "radio_h2s",

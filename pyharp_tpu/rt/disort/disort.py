@@ -99,10 +99,6 @@ class Disort:
 
     def __init__(self, options: DisortOptions):
         fl = options.flag_set()  # validates
-        if options.has("ibcnd"):
-            raise NotImplementedError(
-                "ibcnd (albedo/transmissivity special mode) is not supported"
-            )
         if options.nstr < 2 or options.nstr % 2:
             raise ValueError("nstr must be even and >= 2")
         self.options = options
@@ -148,6 +144,11 @@ class Disort:
             v = jnp.asarray(bc.get(name, default), dtype)
             return jnp.broadcast_to(v, (nwave, ncol)).astype(dtype).reshape(Bflat)
 
+        # the beam machinery is compiled only when the caller supplies fbeam
+        # (cdisort skips it at runtime when fbeam == 0; dict structure is the
+        # trace-static equivalent) — a thermal-only solve skips the beam
+        # particular solution, slant attenuation exponentials and rfldir
+        has_beam = "fbeam" in bc
         fbeam = bc_get("fbeam", 0.0)
         umu0 = bc_get("umu0", 1.0)
         albedo = bc_get("albedo", 0.0)
@@ -175,6 +176,47 @@ class Disort:
         zeros1 = jnp.zeros((1, Bflat), dtype)
         taucum_s = jnp.concatenate([zeros1, jnp.cumsum(tau_s, axis=0)], axis=0)
         taucum_u = jnp.concatenate([zeros1, jnp.cumsum(tau, axis=0)], axis=0)
+
+        # ---- direct-beam slant depths ----
+        # plane-parallel: tau/mu0; spher flag: Chapman-function slant paths
+        # through spherical shells (cdisort's c_chapman; needs bc["h_lev"]
+        # level altitudes (ncol, nlyr+1) bottom-up + bc["radius"]).
+        if not has_beam:
+            chtau_s = chtau_u = mu_eff = None
+        elif self.options.has("spher"):
+            from .spherical import chapman_cumulative, effective_mu
+
+            if "h_lev" not in bc or "radius" not in bc:
+                raise ValueError(
+                    "spher flag requires bc['h_lev'] (ncol, nlyr+1) level "
+                    "altitudes and bc['radius'] planetary radius")
+            hlev = jnp.asarray(bc["h_lev"], dtype)        # (ncol, L+1) bot-up
+            hlev = jnp.flip(hlev, axis=-1).T              # (L+1, ncol) topdn
+            hlev = jnp.broadcast_to(hlev[:, None, :],
+                                    (L + 1, nwave, ncol)).reshape(L + 1, Bflat)
+            radius = jnp.broadcast_to(jnp.asarray(bc["radius"], dtype),
+                                      (nwave, ncol)).reshape(Bflat)
+            chtau_s = chapman_cumulative(tau_s, hlev, radius, umu0)
+            chtau_u = chapman_cumulative(tau, hlev, radius, umu0)
+            mu_eff = effective_mu(tau_s, chtau_s)         # (L, B)
+        else:
+            chtau_s = taucum_s / umu0[None]
+            chtau_u = taucum_u / umu0[None]
+            mu_eff = None
+
+        # ---- general (user) source at quadrature angles (m = 0) ----
+        # cdisort's general_source: constant within each layer, ordered
+        # (nwave, ncol, nlyr, nstr) = [q+ at mu_0.., q- at mu_0..], bottom-up.
+        gensrc = None
+        if self.options.has("general_source") and "gensrc" in bc:
+            gs = jnp.asarray(bc["gensrc"], dtype)
+            if gs.shape != (nwave, ncol, nlyr, self.nstr):
+                raise ValueError(
+                    f"gensrc must be (nwave, ncol, nlyr, nstr), got {gs.shape}")
+            gs = jnp.transpose(gs.reshape(Bflat, nlyr, self.nstr), (2, 1, 0))
+            gs = jnp.flip(gs, axis=1)                     # top-down layers
+            N = self.nstr // 2
+            gensrc = (gs[:N], gs[N:])                     # (q+, q-) (N, L, B)
 
         # ---- thermal (Planck) source coefficients ----
         if planck_on:
@@ -219,9 +261,11 @@ class Disort:
 
         return dict(
             dtype=dtype, nwave=nwave, ncol=ncol, L=L, B=Bflat,
+            has_beam=has_beam,
             tau=tau, ssa=ssa, pmom=pmom, f_dm=f,
             tau_s=tau_s, ssa_s=ssa_s, pmom_s=pmom_s,
             taucum_s=taucum_s, taucum_u=taucum_u,
+            chtau_s=chtau_s, chtau_u=chtau_u, mu_eff=mu_eff, gensrc=gensrc,
             fbeam=fbeam, umu0=umu0, albedo=albedo, fisot=fisot, phi0=phi0,
             bsurf=bsurf, btop=btop, b_top_lay=b_top_lay, slope=slope,
         )
@@ -243,10 +287,21 @@ class Disort:
         sol, Vfull, Ufull = _solver.homogeneous_solution(
             pr["ssa_s"], pr["pmom_s"], dtau_s, ang)
 
-        zp, zm = _solver.beam_particular(
-            sol, Vfull, Ufull, pr["ssa_s"], pr["pmom_s"], fbeam, umu0, ang)
-        att_top = jnp.exp(-taucum_s[:-1] / umu0[None])   # (L, B)
-        att_bot = jnp.exp(-taucum_s[1:] / umu0[None])
+        if pr["has_beam"]:
+            zp, zm = _solver.beam_particular(
+                sol, Vfull, Ufull, pr["ssa_s"], pr["pmom_s"], fbeam, umu0,
+                ang, mu_eff=pr["mu_eff"])
+            chtau_s = pr["chtau_s"]                      # (L+1, B) slant
+            att_top = jnp.exp(-chtau_s[:-1])             # (L, B)
+            att_bot = jnp.exp(-chtau_s[1:])
+            att_L = jnp.exp(-chtau_s[-1])
+        else:
+            # no beam: the Z terms vanish; jnp.zeros is a traced constant so
+            # every downstream add/mul folds away in XLA
+            zshape = (N,) + pr["ssa_s"].shape
+            zp = zm = jnp.zeros(zshape, dtype)
+            att_top = att_bot = jnp.zeros_like(pr["ssa_s"])
+            att_L = jnp.zeros((Bflat,), dtype)
 
         if thermal:
             y0p, y0m, y1 = _solver.thermal_particular(
@@ -256,6 +311,11 @@ class Disort:
             y0p = jnp.zeros(zshape, dtype)
             y0m = jnp.zeros(zshape, dtype)
             y1 = jnp.zeros(zshape, dtype)
+        if pr["gensrc"] is not None and ang.m == 0:
+            ygp, ygm = _solver.general_particular(
+                Vfull, Ufull, pr["gensrc"][0], pr["gensrc"][1])
+            y0p = y0p + ygp
+            y0m = y0m + ygm
 
         ptop_p = zp * att_top[None] + y0p                # (N, L, B)
         ptop_m = zm * att_top[None] + y0m
@@ -269,8 +329,8 @@ class Disort:
             albedo = pr["albedo"]
             ftop = jnp.broadcast_to(
                 (pr["fisot"] + pr["btop"])[None, :], (N, Bflat))
-            att_L = jnp.exp(-taucum_s[-1] / umu0)
-            direct_refl = albedo / jnp.pi * umu0 * fbeam * att_L
+            direct_refl = (albedo / jnp.pi * umu0 * fbeam * att_L
+                           if pr["has_beam"] else jnp.zeros((Bflat,), dtype))
             emit = (1.0 - albedo) * pr["bsurf"]
             refl_part = 2.0 * albedo * _uwdot_static(wmu_np, pb_m)
             bot_rhs = (direct_refl + emit + refl_part)[None] - pb_p
@@ -346,9 +406,13 @@ class Disort:
 
         # direct beam: reported with UNSCALED optical depth (DISORT's RFLDIR);
         # the delta-M forward-peak difference is folded into diffuse down so
-        # the total downward flux stays exact.
-        rfldir_u = umu0[None] * fbeam[None] * jnp.exp(-taucum_u / umu0[None])
-        rfldir_s = umu0[None] * fbeam[None] * jnp.exp(-taucum_s / umu0[None])
+        # the total downward flux stays exact.  Slant (Chapman) depths under
+        # the spher flag, taucum/umu0 otherwise.
+        if pr["has_beam"]:
+            rfldir_u = umu0[None] * fbeam[None] * jnp.exp(-pr["chtau_u"])
+            rfldir_s = umu0[None] * fbeam[None] * jnp.exp(-pr["chtau_s"])
+        else:
+            rfldir_u = rfldir_s = jnp.zeros_like(taucum_u)
         dn_total = rfldn + rfldir_s
         rfldn_rep = dn_total - rfldir_u
 
@@ -421,7 +485,9 @@ class Disort:
                 dn_srf_diff = self._last["dn_all"][:, -1]     # (N, B)
                 wmu_np = ang.w * ang.mu
                 dn_flux = 2.0 * jnp.pi * _uwdot_static(wmu_np, dn_srf_diff)
-                dir_flux = umu0 * fbeam * jnp.exp(-taucum_s[-1] / umu0)
+                dir_flux = (umu0 * fbeam * jnp.exp(-pr["chtau_s"][-1])
+                            if pr["has_beam"]
+                            else jnp.zeros((Bflat,), dtype))
                 surf_int = (albedo / jnp.pi * (dn_flux + dir_flux)
                             + (1.0 - albedo) * pr["bsurf"])
                 top_int = pr["fisot"] + pr["btop"]
@@ -484,7 +550,8 @@ class Disort:
         numu = uum_t.shape[1]
         apply_tms = ((self.options.has("intensity_correction")
                       or self.options.has("old_intensity_correction"))
-                     and self.options.deltam and pr["pmom"].shape[1] > 0)
+                     and self.options.deltam and pr["pmom"].shape[1] > 0
+                     and pr["has_beam"])
         uu_phi = []
         for phi in user_phi:
             acc = uum_t[0]
@@ -546,6 +613,54 @@ class Disort:
         self._rad = uu
         return dict(flux=flux, uu=uu, uum=uum_out,
                     user_mu=tuple(user_mu), user_phi=tuple(user_phi))
+
+    def albedo_transmissivity(self, prop, albedo=0.0):
+        """Albedo and transmissivity of the entire medium (DISORT's IBCND=1).
+
+        cdisort's special mode (``ibcnd`` flag, SURVEY.md section 2.1)
+        returns the plane albedo ``albmed(mu)`` and total transmissivity
+        ``trnmed(mu)`` of the whole atmosphere for a unit beam incident at
+        each ``options.user_mu`` angle (all > 0), considering only
+        ``dtauc/ssalb/pmom/nstr/umu/albedo``.
+
+        TPU-native formulation: one batched solve with unit isotropic
+        illumination from the top (``fisot = 1``), then van de Hulst
+        reciprocity — the upwelling TOA radiance at angle mu under isotropic
+        unit illumination equals the plane albedo for a beam incident at mu,
+        and the downwelling bottom radiance equals the diffuse beam
+        transmissivity; the direct term ``exp(-tau_total / mu)`` completes
+        ``trnmed``.  (cdisort's c_albtrans uses the same reciprocity.)
+
+        Returns dict(albmed, trnmed): each ``(nwave, ncol, numu)``.
+        """
+        user_mu = [float(m) for m in self.options.user_mu]
+        if not user_mu or any(m <= 0 for m in user_mu):
+            raise ValueError("ibcnd mode requires user_mu angles > 0")
+        nwave, ncol = prop.shape[0], prop.shape[1]
+        dtype = prop.dtype
+
+        bc = dict(fisot=jnp.ones((nwave, ncol), dtype),
+                  albedo=jnp.broadcast_to(jnp.asarray(albedo, dtype),
+                                          (nwave, ncol)))
+        both_mu = tuple(user_mu) + tuple(-m for m in user_mu)
+        saved = self.options
+        try:
+            # same solver configuration, radiances at +-mu
+            self.options = dataclasses.replace(saved, user_mu=both_mu,
+                                               user_phi=(0.0,), user_tau=())
+            out = self.intensities(prop, bc)
+        finally:
+            self.options = saved
+
+        nmu = len(user_mu)
+        uu = out["uu"]                       # (nwave, ncol, L+1, 1, 2*nmu)
+        albmed = uu[:, :, 0, 0, :nmu]        # upward radiance at TOA
+        # downward radiance at the bottom: the unit isotropic top boundary
+        # radiance enters the sweep as boundary intensity, so its unscattered
+        # (direct) transmission e^{-tau/mu} is already included — TOTAL
+        # transmissivity, like DISORT's TRNMED
+        trnmed = uu[:, :, -1, 0, nmu:]
+        return dict(albmed=albmed, trnmed=trnmed)
 
     def gather_rad(self):
         """Radiances from the last :meth:`intensities` call (pydisort's

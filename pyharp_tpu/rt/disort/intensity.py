@@ -36,8 +36,11 @@ def _chi_tables(sol: LayerSolution, zp, zm, y0p, y0m, y1, ang: StaticAngles):
     lam_tab = ang.lam_tables            # (G, N) static
     par = ang.parity
     G, N = lam_tab.shape
+    lcut = min(G, ang.nstr)             # solve truncates at l = nstr - 1
 
     def wmoment(up, dn, l):
+        if l >= lcut:
+            return None
         acc = None
         for j in range(N):
             wl = float(ang.w[j] * lam_tab[l, j])
@@ -80,10 +83,12 @@ def _source_coeffs_for_mu(
     par = ang.parity
     half = 0.5 * ssa                                   # (L, B)
 
+    lcut = min(G, ang.nstr)             # solve truncates at l = nstr - 1
+
     def csum(chi_l):
         """(w0/2) sum_l (2l+1) g_l Lam_l(mu_u) chi_l  -> (L, B)."""
         acc = None
-        for l in range(G):
+        for l in range(lcut):
             cl = float((2 * ls[l] + 1) * lam_u[l])
             if cl == 0.0 or chi_l[l] is None:
                 continue
@@ -102,7 +107,7 @@ def _source_coeffs_for_mu(
     SZ_sc = csum(chi_z)
     kappa = (2.0 if ang.m > 0 else 1.0) / (4.0 * np.pi)
     qdir = None
-    for l in range(G):
+    for l in range(lcut):
         cl = float((2 * ls[l] + 1) * lam_u[l] * par[l])
         if cl == 0.0:
             continue

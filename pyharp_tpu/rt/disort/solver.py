@@ -178,21 +178,35 @@ def make_static_angles(nstr: int, nmom: int, m: int) -> StaticAngles:
 
 
 def _phase_outer_tables(ang: StaticAngles, dtype):
-    """Static tables: (2l+1) Lam_l(mu_i) Lam_l(mu_j) split by parity of l-m."""
+    """Static tables: (2l+1) Lam_l(mu_i) Lam_l(mu_j) split by parity of l-m.
+
+    Rows l >= nstr are zeroed (the solve truncates the phase expansion at
+    l = nstr - 1, see ``_moment_coeffs``) so the unrolled contraction skips
+    them statically.
+    """
     lam = ang.lam_tables                     # (G, N)
     ls = np.arange(lam.shape[0])
     outer = (2 * ls + 1)[:, None, None] * lam[:, :, None] * lam[:, None, :]
+    outer = np.where((ls <= ang.nstr - 1)[:, None, None], outer, 0.0)
     even = ((ls - ang.m) % 2 == 0)[:, None, None]
     # returned as host numpy: consumed as static unrolled coefficients
     return np.where(even, outer, 0.0), np.where(even, 0.0, outer)
 
 
 def _moment_coeffs(ssa, pmom, ang: StaticAngles, dtype):
-    """g_l coefficients for l = 0..lmax, g_0 = 1; zeros below l = m.
+    """g_l coefficients for l = 0..lmax, g_0 = 1; zeros below l = m and
+    above l = nstr - 1.
+
+    The computational (quadrature) solve truncates the phase expansion at
+    l = nstr - 1 — cdisort builds ``gl[0..nstr-1]`` only (c_setdis/c_soleig);
+    under delta-M the scaled moments vanish at l = nstr and the information
+    beyond lives in the forward spike, so keeping scaled moments l >= nstr
+    (which go negative) would collapse the forward peak.  Moments beyond
+    nstr - 1 enter only through the TMS/IMS intensity corrections.
 
     Args:
       ssa: (L, B); pmom: (L, nmom, B) holding g_1..g_nmom (may be 0-width).
-    Returns (L, G, B) with G = lmax+1.
+    Returns (L, G, B) with G = lmax+1 (entries above nstr-1 are zero).
     """
     lmax = ang.lam_tables.shape[0] - 1
     L, B = ssa.shape
@@ -203,10 +217,10 @@ def _moment_coeffs(ssa, pmom, ang: StaticAngles, dtype):
     else:
         pad = jnp.zeros((L, lmax - nmom, B), dtype)
         g = jnp.concatenate([ones, pmom, pad], axis=1)
-    if ang.m > 0:
-        mask = jnp.asarray(
-            (np.arange(lmax + 1) >= ang.m).astype(np.float64), dtype
-        )[None, :, None]
+    ls = np.arange(lmax + 1)
+    keep = (ls >= ang.m) & (ls <= ang.nstr - 1)
+    if not keep.all():
+        mask = jnp.asarray(keep.astype(np.float64), dtype)[None, :, None]
         g = g * mask
     return g  # (L, G, B)
 
@@ -297,6 +311,10 @@ def beam_particular(
     fbeam,    # (B,)
     mu0,      # (B,)
     ang: StaticAngles,
+    mu_eff=None,   # (L, B) per-layer effective beam cosine (pseudo-spherical);
+                   # defaults to mu0 (plane-parallel).  The scattering phase
+                   # always uses the true direction mu0; only the in-layer
+                   # attenuation rate uses mu_eff.
 ):
     """Beam-source particular solution Z+-, in the homogeneous eigenbasis.
 
@@ -331,7 +349,7 @@ def beam_particular(
         rows = []
         for i in range(lam_tab_np.shape[1]):
             acc = None
-            for gidx in range(G):
+            for gidx in range(min(G, ang.nstr)):  # solve truncates at nstr-1
                 t = float(lam_tab_np[gidx, i])
                 if signed:
                     t *= float(par_np[gidx])
@@ -351,14 +369,17 @@ def beam_particular(
     qs = qp + qm
     qd = qp - qm
 
-    # rhs' = M^-1 V M^-1 qs - M^-1 qd / mu0
-    mu_c = mu[:, None, None]
-    rhs = _mv(Vfull, qs / mu_c) / mu_c - qd / (mu_c * mu0[None, None, :])
+    # attenuation-rate cosine: per-layer (pseudo-spherical) or the global mu0
+    mu_r = (mu0[None, :] if mu_eff is None else mu_eff)[None]  # (1, L|1, B)
 
-    # expand in s-eigenbasis: solve S c = rhs, scale by 1/(lam^2 - 1/mu0^2)
+    # rhs' = M^-1 V M^-1 qs - M^-1 qd / mu_r
+    mu_c = mu[:, None, None]
+    rhs = _mv(Vfull, qs / mu_c) / mu_c - qd / (mu_c * mu_r)
+
+    # expand in s-eigenbasis: solve S c = rhs, scale by 1/(lam^2 - 1/mu_r^2)
     S = sol.gp + sol.gm                                # (N, N, L, B)
     c = lu_solve(S, rhs)                               # (N, L, B)
-    inv_mu0_sq = (1.0 / (mu0 * mu0))[None, None, :]
+    inv_mu0_sq = 1.0 / (mu_r * mu_r)
     denom = sol.lam**2 - inv_mu0_sq
     eps = jnp.asarray(1e-4 if dtype == jnp.float32 else 1e-9, dtype)
     floor = eps * (sol.lam**2 + inv_mu0_sq)
@@ -366,8 +387,8 @@ def beam_particular(
                       jnp.where(denom < 0, -floor, floor), denom)
     zs = _umv(S, c / denom)
 
-    # zd = -mu0 M^-1 (U zs - qs)
-    zd = -mu0[None, None, :] * (_mv(Ufull, zs) - qs) / mu_c
+    # zd = -mu_r M^-1 (U zs - qs)
+    zd = -mu_r * (_mv(Ufull, zs) - qs) / mu_c
     zp = 0.5 * (zs + zd)
     zm = 0.5 * (zs - zd)
     return zp, zm
@@ -395,6 +416,27 @@ def thermal_particular(Vfull, Ufull, ssa, b_top, b_slope, ang: StaticAngles):
     y0p = b_top[None] * h + 0.5 * y0d
     y0m = b_top[None] * h - 0.5 * y0d
     return y0p, y0m, y1
+
+
+def general_particular(Vfull, Ufull, qp, qm):
+    """Constant angle-dependent source particular solution (m = 0).
+
+    cdisort's ``general_source`` flag feeds a user source ``ds->gensrc`` at
+    the computational angles, constant within each layer (SURVEY.md section
+    2.1: flag observed in the reference's option strings).  With
+    Q+- constant the particular solution is the constant field Y+- solving
+
+        U (Y+ + Y-) = q+ + q-,      V (Y+ - Y-) = q+ - q-
+
+    (sum/difference of the zero-derivative ODE pair) — two batched N x N
+    solves, the angle-resolved generalization of :func:`thermal_particular`.
+
+    Args: qp, qm (N, L, B) upward/downward source at quadrature angles.
+    Returns (Y+, Y-) each (N, L, B).
+    """
+    ys = lu_solve(Ufull, qp + qm)
+    yd = lu_solve(Vfull, qp - qm)
+    return 0.5 * (ys + yd), 0.5 * (ys - yd)
 
 
 def solve_bvp(

@@ -1,0 +1,89 @@
+"""Pseudo-spherical direct beam: Chapman-function slant optical depths.
+
+TPU-native equivalent of cdisort's ``spher`` mode (the reference exposes the
+flag through pydisort's option string, listed at
+``/root/reference/examples/amarsw-ck.yaml`` Disort-flags and SURVEY.md
+section 2.1; cdisort's ``c_chapman`` computes per-layer Chapman factors from
+``ds->radius`` + level altitudes).  In a spherical-shell atmosphere the
+direct solar beam traverses a slant path
+
+    tau_ch(level i) = sum_{j above i} dtau_j * CF_ij,
+
+    CF_ij = [sqrt(r_jtop^2 - s_i^2) - sqrt(r_jbot^2 - s_i^2)] / (r_jtop - r_jbot),
+    s_i   = r_i * sin(theta0),
+
+instead of the plane-parallel ``taucum / mu0``.  The scattered (diffuse)
+field stays plane-parallel per layer — the standard pseudo-spherical
+approximation (Dahlback & Stamnes 1991, the same one cdisort/twostr use).
+
+The per-layer *effective* secant ``1/mu_eff = (tau_ch(bot) - tau_ch(top)) /
+dtau`` reproduces the slant attenuation inside each layer, so the beam
+particular solution keeps its exponential closed form.
+
+All functions run under ``jit``; layers are TOP-DOWN like the solver core.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def chapman_cumulative(dtau, h_lev, radius, umu0):
+    """Cumulative slant optical depth at levels for a spherical shell.
+
+    Args:
+      dtau:   (L, B) per-layer vertical optical thickness, top-down.
+      h_lev:  (L+1, B) level altitudes above the surface, top-down
+              (h_lev[0] = TOA, decreasing).
+      radius: (B,) planetary radius (same length unit as h_lev).
+      umu0:   (B,) cosine of the solar zenith angle at each level's local
+              vertical (> 0: sun above the horizon at the surface).
+
+    Returns:
+      (L+1, B) cumulative slant depth tau_ch, tau_ch[0] = 0.  For
+      ``radius -> inf`` this reduces to ``taucum / umu0`` exactly.
+    """
+    dtype = dtau.dtype
+    L, B = dtau.shape
+    r = radius[None, :] + h_lev                      # (L+1, B), decreasing
+    sin0_sq = jnp.clip(1.0 - umu0 * umu0, 0.0, 1.0)  # (B,)
+
+    r_top = r[:-1]                                   # (L, B) layer tops
+    r_bot = r[1:]                                    # (L, B) layer bottoms
+    dz = jnp.maximum(r_top - r_bot, jnp.asarray(1e-30, dtype))
+
+    def level_depth(_, ri):
+        # ri: (B,) radius of the target level
+        s_sq = (ri * ri)[None, :] * sin0_sq[None, :]          # (1->L, B)
+        top = jnp.sqrt(jnp.maximum(r_top * r_top - s_sq, 0.0))
+        bot = jnp.sqrt(jnp.maximum(r_bot * r_bot - s_sq, 0.0))
+        cf = (top - bot) / dz                                 # (L, B)
+        # only layers ABOVE the target level contribute; the scan index
+        # carries how many layers are above
+        return None, cf
+
+    # cf for every (target level, layer): scan over target levels
+    _, cf_all = lax.scan(level_depth, None, r)               # (L+1, L, B)
+
+    lidx = jnp.arange(L)[None, :, None]                      # (1, L, 1)
+    tgt = jnp.arange(L + 1)[:, None, None]                   # (L+1, 1, 1)
+    mask = (lidx < tgt).astype(dtype)                        # layer above lvl
+    ch = jnp.sum(cf_all * dtau[None] * mask, axis=1)         # (L+1, B)
+    return ch
+
+
+def effective_mu(dtau, chtau):
+    """Per-layer effective beam cosine: mu_eff = dtau / (ch_bot - ch_top).
+
+    Args:
+      dtau:  (L, B) layer vertical optical thickness (top-down).
+      chtau: (L+1, B) cumulative slant depth from :func:`chapman_cumulative`.
+
+    Returns:
+      (L, B) effective mu in (0, 1]; where the layer is empty (dtau = 0)
+      the slant increment is 0/0 — returns 1 there (attenuation is a no-op).
+    """
+    dch = chtau[1:] - chtau[:-1]
+    ok = dch > 0.0
+    return jnp.where(ok, dtau / jnp.where(ok, dch, 1.0), 1.0)

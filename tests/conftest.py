@@ -15,6 +15,18 @@ of the whole test process silently swallow all output, so per-test
 subprocessing is the robust fix).
 """
 import os
+import resource
+
+# XLA:CPU's LLVM pipeline recurses deeply on this package's large fused
+# graphs (scalarized per-mode intensity sweeps) and segfaults with the
+# default 8 MiB stack; lift the soft limit to the hard limit (the main
+# thread's stack grows on demand up to RLIMIT_STACK).
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY:
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+    except (ValueError, OSError):
+        pass
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -25,6 +37,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# Persistent compile cache: repeated pytest runs skip recompilation.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: no persistent compile cache here.  XLA:CPU serializes AOT executables
+# tagged with pseudo machine features (prefer-no-scatter/prefer-no-gather)
+# that fail the feature check on reload in this environment and then
+# segfault mid-suite ("Loading XLA:CPU AOT result ... could lead to
+# execution errors such as SIGILL").  TPU benchmarks keep their own cache
+# (bench.py); CPU tests recompile each run.

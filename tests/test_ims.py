@@ -137,10 +137,14 @@ def test_corrected_closer_to_high_order_truth():
     corr, _ = _radiance(8, nmom, "lamber,quiet,usrang,intensity_correction",
                         dtau, ssa, mom, aureole_mu)
 
-    # bottom level (max path), both aureole angles: correction must help
+    # bottom level (max path; uu is (nwave, ncol, ntau, nphi, numu) with
+    # ntau top-down, so the bottom is ntau = -1), both aureole angles:
+    # the correction must remove >= 75% of the delta-M truncation error and
+    # land within 5% of the 16-stream truth (which carries a ~1-2% error of
+    # its own at the aureole peak, so a tighter bound would test the truth
+    # run, not the correction)
     for i_mu in range(len(aureole_mu)):
-        e_plain = abs(plain[0, 0, 0, -1, i_mu] - truth[0, 0, 0, -1, i_mu])
-        e_corr = abs(corr[0, 0, 0, -1, i_mu] - truth[0, 0, 0, -1, i_mu])
-        assert e_corr < e_plain, (i_mu, e_corr, e_plain)
-        # and land within 3% of truth
-        assert e_corr < 0.03 * abs(truth[0, 0, 0, -1, i_mu])
+        e_plain = abs(plain[0, 0, -1, 0, i_mu] - truth[0, 0, -1, 0, i_mu])
+        e_corr = abs(corr[0, 0, -1, 0, i_mu] - truth[0, 0, -1, 0, i_mu])
+        assert e_corr < 0.25 * e_plain, (i_mu, e_corr, e_plain)
+        assert e_corr < 0.05 * abs(truth[0, 0, -1, 0, i_mu])
