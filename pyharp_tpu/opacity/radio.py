@@ -132,8 +132,9 @@ class RadioVVWAbsorber:
 
         p_bar = pres * 1e-5                                # Pa -> bar
         # partial pressures: absorber from its own concentration, H2/He from
-        # fixed background mole fractions (options)
-        p_self = n_abs * _KBOLTZ * temp * 1e-5
+        # fixed background mole fractions (options); conc is molar [mol/m^3]
+        # so the ideal-gas partial pressure needs the molar gas constant
+        p_self = n_abs * constants.Rgas * temp * 1e-5
         p_h2 = self.x_h2 * p_bar
         p_he = self.x_he * p_bar
         tr = 300.0 / temp                                  # (ncol, nlyr)
@@ -201,8 +202,12 @@ class RadioElectron:
     For a weakly-ionized atmosphere with electron density n_e and
     electron-neutral collision frequency nu_c:
 
-        alpha [1/m] = (nu_p^2 nu_c) / (c (nu^2 + nu_c^2)),
+        alpha [1/m] = (nu_p^2 nu_c) / (c (nu^2 + (nu_c / 2 pi)^2)),
         nu_p^2 = n_e e^2 / (4 pi^2 eps0 m_e)   [Hz^2]
+
+    nu is ordinary frequency [Hz] while the collision rate nu_c is angular
+    [rad/s]; the standard Drude form omega_p^2 nu_c / (c (omega^2 + nu_c^2))
+    divided through by (2 pi)^2 puts nu_c^2/(4 pi^2) in the denominator.
 
     nu_c is modeled as ``k_coll * n_neutral * sqrt(T)`` with the rate
     coefficient an option (electron-H2 momentum-transfer collisions).
@@ -238,6 +243,7 @@ class RadioElectron:
         nu_c = self.k_coll * n_neutral * jnp.sqrt(temp)       # Hz
         nu_p2 = n_e * self._E ** 2 / (
             4.0 * jnp.pi ** 2 * self._EPS0 * self._ME)        # Hz^2
+        nu_c2 = (nu_c / (2.0 * jnp.pi)) ** 2   # angular -> ordinary freq^2
         alpha = (nu_p2 * nu_c)[None] / (
-            self._CLIGHT * (nu[:, None, None] ** 2 + nu_c[None] ** 2))
+            self._CLIGHT * (nu[:, None, None] ** 2 + nu_c2[None]))
         return alpha[..., None]

@@ -208,7 +208,16 @@ class Disort:
         # cdisort's general_source: constant within each layer, ordered
         # (nwave, ncol, nlyr, nstr) = [q+ at mu_0.., q- at mu_0..], bottom-up.
         gensrc = None
-        if self.options.has("general_source") and "gensrc" in bc:
+        if self.options.has("general_source") != ("gensrc" in bc):
+            # misconfiguration must not silently produce wrong results
+            # (mirrors the spher h_lev/radius check)
+            if self.options.has("general_source"):
+                raise ValueError(
+                    "general_source flag requires bc['gensrc'] "
+                    "(nwave, ncol, nlyr, nstr)")
+            raise ValueError(
+                "bc['gensrc'] supplied without the general_source flag")
+        if self.options.has("general_source"):
             gs = jnp.asarray(bc["gensrc"], dtype)
             if gs.shape != (nwave, ncol, nlyr, self.nstr):
                 raise ValueError(
@@ -373,6 +382,10 @@ class Disort:
           ``[..., IDN]`` total (direct+diffuse) downward flux, levels
           **bottom-up** (level 0 = surface) like the reference examples.
         """
+        if self.options.has("ibcnd"):
+            raise ValueError(
+                "ibcnd (albedo/transmissivity special mode) is not a flux "
+                "solve; call albedo_transmissivity(prop, albedo) instead")
         pr = self._prepare(prop, bc, temf)
         md = self._solve_mode(pr, self._ang0, thermal=True)
         return self._fluxes_from_mode0(pr, md)
@@ -463,6 +476,17 @@ class Disort:
         taucum_s = pr["taucum_s"]
         umu0, fbeam, albedo = pr["umu0"], pr["fbeam"], pr["albedo"]
 
+        # beam attenuation entering the formal-solution sweeps: Chapman
+        # slant depths + per-layer effective cosine under the spher flag
+        # (consistent with the flux path), plane-parallel tau/mu0 otherwise
+        if pr["has_beam"]:
+            beam_top = jnp.exp(-pr["chtau_s"][:-1])            # (L, B)
+            mu_beam = (pr["mu_eff"] if pr["mu_eff"] is not None
+                       else jnp.broadcast_to(umu0[None], (L, Bflat)))
+        else:
+            beam_top = jnp.zeros((L, Bflat), dtype)
+            mu_beam = jnp.ones((L, Bflat), dtype)
+
         user_mu = list(self.options.user_mu)
         if not user_mu:
             mus = list(self._ang0.mu)
@@ -513,7 +537,8 @@ class Disort:
                     ang)
                 lvl = _intensity.sweep_intensity(
                     float(mu_u), md["a"], md["b"], SA, SB, SZ, S0, S1,
-                    md["sol"], taucum_s, umu0, surf_int, top_int)
+                    md["sol"], taucum_s, beam_top, mu_beam,
+                    surf_int, top_int)
                 per_mu.append(lvl)                     # (L+1, B)
             uum_levels.append(jnp.stack(per_mu, axis=0))  # (numu, L+1, B)
 
@@ -571,10 +596,15 @@ class Disort:
                     corr_lvl = _intensity.tms_correction(
                         float(mu_u), float(phi), g_uns, g_scl,
                         pr["ssa"], pr["ssa_s"], pr["f_dm"], self.nstr,
-                        taucum_s, fbeam, umu0, phi0)
+                        taucum_s, fbeam, umu0, phi0,
+                        beam_top=beam_top, mu_beam=mu_beam)
                     if mu_u < 0:
                         # IMS secondary-scattering correction (DISORT INTCOR
-                        # applies it alongside TMS for downward directions)
+                        # applies it alongside TMS for downward directions).
+                        # IMS stays plane-parallel even under spher: its
+                        # double-scattering depth kernel has no closed
+                        # Chapman form, and cdisort likewise never combines
+                        # spher with intensity corrections.
                         corr_lvl = corr_lvl - _intensity.ims_correction(
                             float(mu_u), float(phi), g_uns,
                             pr["ssa"], pr["f_dm"], pr["tau"], pr["taucum_u"],
@@ -643,14 +673,14 @@ class Disort:
                   albedo=jnp.broadcast_to(jnp.asarray(albedo, dtype),
                                           (nwave, ncol)))
         both_mu = tuple(user_mu) + tuple(-m for m in user_mu)
-        saved = self.options
-        try:
-            # same solver configuration, radiances at +-mu
-            self.options = dataclasses.replace(saved, user_mu=both_mu,
-                                               user_phi=(0.0,), user_tau=())
-            out = self.intensities(prop, bc)
-        finally:
-            self.options = saved
+        # same solver configuration, radiances at +-mu; a fresh instance
+        # (not a temporary mutation of self.options) keeps this re-entrant
+        # and safe under concurrent use of one Disort object
+        flags = " ".join(sorted(self._flags - {"ibcnd"}))
+        alt = Disort(dataclasses.replace(
+            self.options, flags=flags, user_mu=both_mu, user_phi=(0.0,),
+            user_tau=()))
+        out = alt.intensities(prop, bc)
 
         nmu = len(user_mu)
         uu = out["uu"]                       # (nwave, ncol, L+1, 1, 2*nmu)

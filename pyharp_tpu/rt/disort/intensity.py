@@ -134,7 +134,11 @@ def sweep_intensity(
     SA, SB, SZ, S0, S1,   # source coefficients for this mu_u
     sol: LayerSolution,
     taucum,               # (L+1, B) scaled cumulative depth
-    mu0,                  # (B,)
+    beam_top,             # (L, B) beam attenuation at layer tops
+                          #   (exp(-taucum/mu0) plane-parallel,
+                          #    exp(-chtau) under the spher flag)
+    mu_beam,              # (L, B) within-layer beam decay cosine
+                          #   (mu0 plane-parallel, Chapman mu_eff under spher)
     bottom_value,         # (B,) boundary intensity (surface, for mu_u > 0)
     top_value,            # (B,) boundary intensity (TOA, for mu_u < 0)
 ):
@@ -149,7 +153,6 @@ def sweep_intensity(
     dt = taucum[1:] - taucum[:-1]          # (L, B)
     att = jnp.exp(-dt / m)
     eldt = sol.expd                        # e^{-lam dt} (N, L, B)
-    beam_top = jnp.exp(-taucum[:-1] / mu0[None])   # (L, B)
     eps = jnp.asarray(1e-5 if dtype == jnp.float32 else 1e-10, dtype)
 
     SAa = SA * a                           # (N, L, B)
@@ -161,8 +164,8 @@ def sweep_intensity(
         Cb = _safe_div(att[None] - eldt, lam * m - 1.0,
                        (dt[None] / m) * att[None], eps)
         Cz = beam_top * _safe_div(
-            1.0 - att * jnp.exp(-dt / mu0[None]),
-            1.0 + m / mu0[None],
+            1.0 - att * jnp.exp(-dt / mu_beam),
+            1.0 + m / mu_beam,
             jnp.ones_like(dt), eps)  # denominator > 1 always; no clamp needed
         C0 = 1.0 - att
         C1 = m * (1.0 - att) - dt * att
@@ -183,8 +186,8 @@ def sweep_intensity(
                        (dt[None] / m) * att[None], eps)
         Db = (1.0 - eldt * att[None]) / (1.0 + lam * m)
         Dz = beam_top * _safe_div(
-            jnp.exp(-dt / mu0[None]) - att,
-            1.0 - m / mu0[None],
+            jnp.exp(-dt / mu_beam) - att,
+            1.0 - m / mu_beam,
             (dt / m) * att, eps)
         D0 = 1.0 - att
         D1 = dt - m * (1.0 - att)
@@ -201,10 +204,13 @@ def sweep_intensity(
     return levels
 
 
-def single_scatter_sweep(mu_u: float, amp, taucum, mu0, dtype):
+def single_scatter_sweep(mu_u: float, amp, taucum, beam_top, mu_beam, dtype):
     """Beam single-scattering intensity at all levels for signed mu_u.
 
     amp: per-layer source amplitude (L, B) — e.g. (F0/4pi) w0 p(Theta).
+    beam_top/mu_beam: beam attenuation at layer tops and within-layer decay
+    cosine, (L, B) each (plane-parallel or Chapman-slant, as in
+    :func:`sweep_intensity`).
     Uses the same closed-form layer weights as :func:`sweep_intensity` with
     only the beam term active and zero boundary values (the TMS correction
     excludes surface-reflected light, matching cdisort's SECSCA/TMS).
@@ -213,16 +219,15 @@ def single_scatter_sweep(mu_u: float, amp, taucum, mu0, dtype):
     m = abs(mu_u)
     dt = taucum[1:] - taucum[:-1]
     att = jnp.exp(-dt / m)
-    beam_top = jnp.exp(-taucum[:-1] / mu0[None])
     eps = jnp.asarray(1e-5 if dtype == jnp.float32 else 1e-10, dtype)
 
     if mu_u > 0:
-        w_lay = beam_top * (1.0 - att * jnp.exp(-dt / mu0[None])) / (
-            1.0 + m / mu0[None])
+        w_lay = beam_top * (1.0 - att * jnp.exp(-dt / mu_beam)) / (
+            1.0 + m / mu_beam)
     else:
         w_lay = beam_top * _safe_div(
-            jnp.exp(-dt / mu0[None]) - att,
-            1.0 - m / mu0[None],
+            jnp.exp(-dt / mu_beam) - att,
+            1.0 - m / mu_beam,
             (dt / m) * att, eps)
     emis = amp * w_lay
 
@@ -347,6 +352,7 @@ def tms_correction(
     f_dm,          # (L, B) delta-M truncation fraction
     nstr: int,
     taucum_s, fbeam, mu0, phi0,
+    beam_top=None, mu_beam=None,   # (L, B) slant-beam overrides (spher)
 ):
     """Nakajima-Tanaka TMS correction at all levels for one (mu_u, phi).
 
@@ -364,9 +370,15 @@ def tms_correction(
     p_exact = legendre_sum(None, g_unscaled, cos_t, lmax_full)
     p_trunc = legendre_sum(None, g_scaled[:, :nstr], cos_t, nstr - 1)
 
+    if beam_top is None:
+        beam_top = jnp.exp(-taucum_s[:-1] / mu0[None])
+    if mu_beam is None:
+        mu_beam = jnp.broadcast_to(mu0[None], ssa.shape)
     amp_exact = (fbeam[None] / (4 * jnp.pi)) * ssa * p_exact / (
         1.0 - ssa * f_dm)
     amp_trunc = (fbeam[None] / (4 * jnp.pi)) * ssa_s * p_trunc
-    exact = single_scatter_sweep(mu_u, amp_exact, taucum_s, mu0, dtype)
-    trunc = single_scatter_sweep(mu_u, amp_trunc, taucum_s, mu0, dtype)
+    exact = single_scatter_sweep(mu_u, amp_exact, taucum_s, beam_top,
+                                 mu_beam, dtype)
+    trunc = single_scatter_sweep(mu_u, amp_trunc, taucum_s, beam_top,
+                                 mu_beam, dtype)
     return exact - trunc
