@@ -70,6 +70,10 @@ class DisortOptions:
     # numerics
     deltam: bool = True
     accuracy: float = 0.0
+    # kernel backend: "auto" picks the fused Pallas path on TPU/f32,
+    # "xla" forces the pure-XLA solver (any backend/dtype), "pallas"
+    # forces the Pallas kernels (TPU, or interpret mode elsewhere)
+    kernel: str = "auto"
 
     def replace(self, **kw) -> "DisortOptions":
         return dataclasses.replace(self, **kw)
@@ -279,6 +283,16 @@ class Disort:
             bsurf=bsurf, btop=btop, b_top_lay=b_top_lay, slope=slope,
         )
 
+    def _use_pallas(self, dtype) -> bool:
+        kernel = getattr(self.options, "kernel", "auto")
+        if kernel == "xla":
+            return False
+        if kernel == "pallas":
+            return True
+        import jax
+
+        return jax.default_backend() == "tpu" and dtype == jnp.float32
+
     def _solve_mode(self, pr, ang, thermal: bool):
         """Eigen + particular + BVP for one azimuthal mode.
 
@@ -293,8 +307,24 @@ class Disort:
         umu0 = pr["umu0"]
         fbeam = pr["fbeam"]
 
-        sol, Vfull, Ufull = _solver.homogeneous_solution(
-            pr["ssa_s"], pr["pmom_s"], dtau_s, ang)
+        if self._use_pallas(dtype):
+            from .pallas_kernels import fused_homogeneous_thermal
+
+            gp, gm, lam, expd, y0p, y0m, y1 = fused_homogeneous_thermal(
+                pr["ssa_s"], pr["pmom_s"], dtau_s,
+                pr["b_top_lay"], pr["slope"], ang, thermal=thermal)
+            sol = _solver.LayerSolution(lam, gp, gm, expd)
+            # the cheap reduced operators are only needed by the beam /
+            # general-source particular solutions
+            if pr["has_beam"] or pr["gensrc"] is not None:
+                Vfull, Ufull = _solver.full_operators(
+                    pr["ssa_s"], pr["pmom_s"], ang)
+            else:
+                Vfull = Ufull = None
+        else:
+            sol, Vfull, Ufull = _solver.homogeneous_solution(
+                pr["ssa_s"], pr["pmom_s"], dtau_s, ang)
+            y0p = y0m = y1 = None
 
         if pr["has_beam"]:
             zp, zm = _solver.beam_particular(
@@ -312,14 +342,16 @@ class Disort:
             att_top = att_bot = jnp.zeros_like(pr["ssa_s"])
             att_L = jnp.zeros((Bflat,), dtype)
 
-        if thermal:
-            y0p, y0m, y1 = _solver.thermal_particular(
-                Vfull, Ufull, pr["ssa_s"], pr["b_top_lay"], pr["slope"], ang)
-        else:
-            zshape = (N,) + pr["ssa_s"].shape
-            y0p = jnp.zeros(zshape, dtype)
-            y0m = jnp.zeros(zshape, dtype)
-            y1 = jnp.zeros(zshape, dtype)
+        if y0p is None:   # XLA path: thermal particular not yet computed
+            if thermal:
+                y0p, y0m, y1 = _solver.thermal_particular(
+                    Vfull, Ufull, pr["ssa_s"], pr["b_top_lay"], pr["slope"],
+                    ang)
+            else:
+                zshape = (N,) + pr["ssa_s"].shape
+                y0p = jnp.zeros(zshape, dtype)
+                y0m = jnp.zeros(zshape, dtype)
+                y1 = jnp.zeros(zshape, dtype)
         if pr["gensrc"] is not None and ang.m == 0:
             ygp, ygm = _solver.general_particular(
                 Vfull, Ufull, pr["gensrc"][0], pr["gensrc"][1])
@@ -348,8 +380,16 @@ class Disort:
             ftop = jnp.zeros((N, Bflat), dtype)
             bot_rhs = -pb_p
 
-        a, b = _solver.solve_bvp(
-            sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs, albedo, ang)
+        if self._use_pallas(dtype):
+            from .pallas_kernels import solve_bvp_pallas
+
+            a, b = solve_bvp_pallas(
+                sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
+                albedo, ang)
+        else:
+            a, b = _solver.solve_bvp(
+                sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
+                albedo, ang)
 
         return dict(sol=sol, a=a, b=b, zp=zp, zm=zm,
                     y0p=y0p, y0m=y0m, y1=y1,
@@ -528,19 +568,27 @@ class Disort:
             # lam0 at -mu0 parity applied inside source coeffs via ang.parity
             lam0_list = [lam0_mu0[l] for l in range(lam0_mu0.shape[0])]
 
-            per_mu = []
-            for mu_u in user_mu:
-                SA, SB, SZ, S0, S1 = _intensity._source_coeffs_for_mu(
-                    float(mu_u), chi, g_coef, pr["ssa_s"], fbeam, umu0,
-                    lam0_list, pr["b_top_lay"] if m == 0 else jnp.zeros_like(pr["b_top_lay"]),
-                    pr["slope"] if m == 0 else jnp.zeros_like(pr["slope"]),
-                    ang)
-                lvl = _intensity.sweep_intensity(
-                    float(mu_u), md["a"], md["b"], SA, SB, SZ, S0, S1,
-                    md["sol"], taucum_s, beam_top, mu_beam,
-                    surf_int, top_int)
-                per_mu.append(lvl)                     # (L+1, B)
-            uum_levels.append(jnp.stack(per_mu, axis=0))  # (numu, L+1, B)
+            btl = (pr["b_top_lay"] if m == 0
+                   else jnp.zeros_like(pr["b_top_lay"]))
+            slp = pr["slope"] if m == 0 else jnp.zeros_like(pr["slope"])
+            # one batched sweep per viewing hemisphere (static angle sets)
+            ups = tuple(mu for mu in user_mu if mu > 0)
+            downs = tuple(mu for mu in user_mu if mu < 0)
+            by_mu = {}
+            for mus, up, bval in ((ups, True, surf_int),
+                                  (downs, False, top_int)):
+                if not mus:
+                    continue
+                SA, SB, SZ, S0, S1 = _intensity._source_coeffs_batch(
+                    mus, chi, g_coef, pr["ssa_s"], fbeam, umu0,
+                    lam0_list, btl, slp, ang)
+                lvls = _intensity.sweep_intensity_batch(
+                    mus, up, md["a"], md["b"], SA, SB, SZ, S0, S1,
+                    md["sol"], taucum_s, beam_top, mu_beam, bval)
+                for i, mu in enumerate(mus):
+                    by_mu[mu] = lvls[i]                # (L+1, B)
+            uum_levels.append(jnp.stack(
+                [by_mu[mu] for mu in user_mu], axis=0))   # (numu, L+1, B)
 
         uum = jnp.stack(uum_levels, axis=0)   # (nmode, numu, L+1, B)
 

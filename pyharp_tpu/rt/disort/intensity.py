@@ -60,148 +60,152 @@ def _chi_tables(sol: LayerSolution, zp, zm, y0p, y0m, y1, ang: StaticAngles):
     return chi_a, chi_b, chi_z, chi_y0, chi_y1
 
 
-def _source_coeffs_for_mu(
-    mu_u: float,
-    chi, g_coef, ssa, fbeam, mu0, lam0_mu0,
-    b_top_lay, slope,
-    ang: StaticAngles,
-):
-    """Closed-form source-function coefficients at signed user angle mu_u.
-
-    The mode-m source at angle mu within layer n is
-
-      S(t') = sum_k a_k SA_k e^{-lam t'} + sum_k b_k SB_k e^{-lam (D-t')}
-              + SZ e^{-taucum_top/mu0} e^{-t'/mu0} + S0 + S1 t'
-
-    (t' local depth).  Returns (SA, SB) as (N, L, B) and (SZ, S0, S1) as
-    (L, B); the a_k/b_k coefficient weighting is applied by the caller.
-    """
-    lam_u = lepoly_static(np.asarray([mu_u]), ang.m,
-                          ang.lam_tables.shape[0] - 1)[:, 0]  # (G,)
-    G = lam_u.shape[0]
-    ls = np.arange(G)
-    par = ang.parity
-    half = 0.5 * ssa                                   # (L, B)
-
-    lcut = min(G, ang.nstr)             # solve truncates at l = nstr - 1
-
-    def csum(chi_l):
-        """(w0/2) sum_l (2l+1) g_l Lam_l(mu_u) chi_l  -> (L, B)."""
-        acc = None
-        for l in range(lcut):
-            cl = float((2 * ls[l] + 1) * lam_u[l])
-            if cl == 0.0 or chi_l[l] is None:
-                continue
-            term = cl * g_coef[:, l, :] * chi_l[l]
-            acc = term if acc is None else acc + term
-        if acc is None:
-            return jnp.zeros_like(ssa)
-        return half * acc
-
-    chi_a, chi_b, chi_z, chi_y0, chi_y1 = chi
-    N = len(chi_a[0])
-    SA = jnp.stack([csum([chi_a[l][k] for l in range(G)]) for k in range(N)], 0)
-    SB = jnp.stack([csum([chi_b[l][k] for l in range(G)]) for k in range(N)], 0)
-
-    # beam: scattered part + direct pseudo-source at mu_u
-    SZ_sc = csum(chi_z)
-    kappa = (2.0 if ang.m > 0 else 1.0) / (4.0 * np.pi)
-    qdir = None
-    for l in range(lcut):
-        cl = float((2 * ls[l] + 1) * lam_u[l] * par[l])
-        if cl == 0.0:
-            continue
-        term = cl * g_coef[:, l, :] * lam0_mu0[l][None, :]
-        qdir = term if qdir is None else qdir + term
-    if qdir is None:
-        qdir = jnp.zeros_like(ssa)
-    SZ = SZ_sc + kappa * ssa * fbeam[None, :] * qdir
-
-    # thermal (only nonzero for m = 0)
-    S0 = csum(chi_y0) + (1.0 - ssa) * b_top_lay
-    S1 = csum(chi_y1) + (1.0 - ssa) * slope
-    return SA, SB, SZ, S0, S1
-
-
 def _safe_div(num, den, limit, eps):
     bad = jnp.abs(den) < eps
     return jnp.where(bad, limit, num / jnp.where(bad, 1.0, den))
 
 
-def sweep_intensity(
-    mu_u: float,
+def _source_coeffs_batch(
+    mus,           # static sequence of signed user angles (length M)
+    chi, g_coef, ssa, fbeam, mu0, lam0_mu0,
+    b_top_lay, slope,
+    ang: StaticAngles,
+):
+    """Batched ``_source_coeffs_for_mu`` over a static set of angles.
+
+    The per-angle Legendre factors are compile-time constants, so the whole
+    angle set reduces to ``lcut`` fused multiply-adds on ``(M, L, B)``
+    arrays — one graph instead of M copies (an M-fold graph-size and
+    dispatch reduction; on CPU this dominates test wall time, on TPU it
+    batches the radiance workload over angles).
+
+    Returns (SA, SB) as (M, N, L, B) and (SZ, S0, S1) as (M, L, B).
+    """
+    mus = np.asarray(mus, np.float64)
+    M = mus.shape[0]
+    G = ang.lam_tables.shape[0]
+    lcut = min(G, ang.nstr)
+    par = ang.parity
+    # static coefficient tables: C[m, l] = (2l+1) Lam_l(mu_m)
+    lam_u = lepoly_static(mus, ang.m, G - 1)          # (G, M)
+    ls = np.arange(G)
+    C = ((2 * ls + 1)[:, None] * lam_u).T             # (M, G)
+    Cp = C * par[None, :]
+
+    chi_a, chi_b, chi_z, chi_y0, chi_y1 = chi
+    N = len(chi_a[0])
+    dtype = ssa.dtype
+    half = 0.5 * ssa                                  # (L, B)
+
+    def csum_batch(chi_l):
+        acc = None
+        for l in range(lcut):
+            if chi_l[l] is None or not np.any(C[:, l]):
+                continue
+            term = (g_coef[:, l, :] * chi_l[l])[None]          # (1, L, B)
+            cl = jnp.asarray(C[:, l], dtype)[:, None, None]    # (M, 1, 1)
+            t = cl * term
+            acc = t if acc is None else acc + t
+        if acc is None:
+            return jnp.zeros((M,) + ssa.shape, dtype)
+        return half[None] * acc                                # (M, L, B)
+
+    SA = jnp.stack(
+        [csum_batch([chi_a[l][k] for l in range(G)]) for k in range(N)],
+        axis=1)                                                # (M, N, L, B)
+    SB = jnp.stack(
+        [csum_batch([chi_b[l][k] for l in range(G)]) for k in range(N)],
+        axis=1)
+
+    # beam: scattered part + direct pseudo-source at each mu
+    SZ_sc = csum_batch(chi_z)
+    kappa = (2.0 if ang.m > 0 else 1.0) / (4.0 * np.pi)
+    qdir = None
+    for l in range(lcut):
+        if not np.any(Cp[:, l]):
+            continue
+        term = (g_coef[:, l, :] * lam0_mu0[l][None, :])[None]  # (1, L, B)
+        cl = jnp.asarray(Cp[:, l], dtype)[:, None, None]
+        t = cl * term
+        qdir = t if qdir is None else qdir + t
+    if qdir is None:
+        qdir = jnp.zeros((M,) + ssa.shape, dtype)
+    SZ = SZ_sc + kappa * (ssa * fbeam[None, :])[None] * qdir
+
+    # thermal (only nonzero for m = 0)
+    S0 = csum_batch(chi_y0) + ((1.0 - ssa) * b_top_lay)[None]
+    S1 = csum_batch(chi_y1) + ((1.0 - ssa) * slope)[None]
+    return SA, SB, SZ, S0, S1
+
+
+def sweep_intensity_batch(
+    mus,                  # static sequence of |mu| magnitudes (length M)
+    up: bool,             # direction shared by the whole set
     a, b,                 # (N, L, B) BVP coefficients
-    SA, SB, SZ, S0, S1,   # source coefficients for this mu_u
+    SA, SB, SZ, S0, S1,   # batched source coefficients (M, [N,] L, B)
     sol: LayerSolution,
     taucum,               # (L+1, B) scaled cumulative depth
     beam_top,             # (L, B) beam attenuation at layer tops
-                          #   (exp(-taucum/mu0) plane-parallel,
-                          #    exp(-chtau) under the spher flag)
     mu_beam,              # (L, B) within-layer beam decay cosine
-                          #   (mu0 plane-parallel, Chapman mu_eff under spher)
-    bottom_value,         # (B,) boundary intensity (surface, for mu_u > 0)
-    top_value,            # (B,) boundary intensity (TOA, for mu_u < 0)
+    boundary_value,       # (B,) surface intensity (up) / TOA intensity (down)
 ):
-    """Formal-solution sweep along signed user angle mu_u.
-
-    Returns intensity at every level: (L+1, B).
-    """
+    """Batched formal-solution sweep: all same-direction user angles in one
+    ``lax.scan``.  Returns (M, L+1, B)."""
     dtype = a.dtype
     N, L, B = a.shape
-    lam = sol.lam                          # (N, L, B)
-    m = abs(mu_u)
-    dt = taucum[1:] - taucum[:-1]          # (L, B)
-    att = jnp.exp(-dt / m)
-    eldt = sol.expd                        # e^{-lam dt} (N, L, B)
+    M = len(mus)
+    lam = sol.lam                                    # (N, L, B)
+    m = jnp.asarray(np.abs(np.asarray(mus, np.float64)),
+                    dtype)[:, None, None]            # (M, 1, 1)
+    dt = taucum[1:] - taucum[:-1]                    # (L, B)
+    att = jnp.exp(-dt[None] / m)                     # (M, L, B)
+    eldt = sol.expd                                  # (N, L, B)
     eps = jnp.asarray(1e-5 if dtype == jnp.float32 else 1e-10, dtype)
+    m4 = m[:, None]                                  # (M, 1, 1, 1)
 
-    SAa = SA * a                           # (N, L, B)
-    SBb = SB * b
+    SAa = SA * a[None]                               # (M, N, L, B)
+    SBb = SB * b[None]
+    ebm = jnp.exp(-dt / mu_beam)                     # (L, B)
 
-    if mu_u > 0:
-        # upward: I(top_n) = I(bot_n) e^{-dt/m} + integral weights
-        Ca = (1.0 - eldt * att[None]) / (1.0 + lam * m)
-        Cb = _safe_div(att[None] - eldt, lam * m - 1.0,
-                       (dt[None] / m) * att[None], eps)
-        Cz = beam_top * _safe_div(
-            1.0 - att * jnp.exp(-dt / mu_beam),
-            1.0 + m / mu_beam,
-            jnp.ones_like(dt), eps)  # denominator > 1 always; no clamp needed
+    if up:
+        Ca = (1.0 - eldt[None] * att[:, None]) / (1.0 + lam[None] * m4)
+        Cb = _safe_div(att[:, None] - eldt[None], lam[None] * m4 - 1.0,
+                       (dt[None, None] / m4) * att[:, None], eps)
+        Cz = beam_top[None] * _safe_div(
+            1.0 - att * ebm[None], 1.0 + m / mu_beam[None],
+            jnp.ones_like(att), eps)
         C0 = 1.0 - att
-        C1 = m * (1.0 - att) - dt * att
-        emis = (jnp.sum(SAa * Ca + SBb * Cb, axis=0)
-                + SZ * Cz + S0 * C0 + S1 * C1)    # (L, B)
-
-        def step(carry, xs):
-            at, em = xs
-            new = carry * at + em
-            return new, new
-
-        _, lvl = lax.scan(step, bottom_value, (att[::-1], emis[::-1]))
-        levels = jnp.concatenate(
-            [lvl[::-1], bottom_value[None]], axis=0)   # (L+1, B)
+        C1 = m * (1.0 - att) - dt[None] * att
+        emis = (jnp.sum(SAa * Ca + SBb * Cb, axis=1)
+                + SZ * Cz + S0 * C0 + S1 * C1)       # (M, L, B)
     else:
-        # downward: I(bot_n) = I(top_n) e^{-dt/m} + integral weights
-        Da = _safe_div(eldt - att[None], 1.0 - lam * m,
-                       (dt[None] / m) * att[None], eps)
-        Db = (1.0 - eldt * att[None]) / (1.0 + lam * m)
-        Dz = beam_top * _safe_div(
-            jnp.exp(-dt / mu_beam) - att,
-            1.0 - m / mu_beam,
-            (dt / m) * att, eps)
-        D0 = 1.0 - att
-        D1 = dt - m * (1.0 - att)
-        emis = (jnp.sum(SAa * Da + SBb * Db, axis=0)
-                + SZ * Dz + S0 * D0 + S1 * D1)
+        Ca = _safe_div(eldt[None] - att[:, None], 1.0 - lam[None] * m4,
+                       (dt[None, None] / m4) * att[:, None], eps)
+        Cb = (1.0 - eldt[None] * att[:, None]) / (1.0 + lam[None] * m4)
+        Cz = beam_top[None] * _safe_div(
+            ebm[None] - att, 1.0 - m / mu_beam[None],
+            (dt[None] / m) * att, eps)
+        C0 = 1.0 - att
+        C1 = dt[None] - m * (1.0 - att)
+        emis = (jnp.sum(SAa * Ca + SBb * Cb, axis=1)
+                + SZ * Cz + S0 * C0 + S1 * C1)
 
-        def step(carry, xs):
-            at, em = xs
-            new = carry * at + em
-            return new, new
+    att_s = jnp.moveaxis(att, 1, 0)                  # (L, M, B)
+    emis_s = jnp.moveaxis(emis, 1, 0)
+    bval = jnp.broadcast_to(boundary_value[None], (M, B))
 
-        _, lvl = lax.scan(step, top_value, (att, emis))
-        levels = jnp.concatenate([top_value[None], lvl], axis=0)
-    return levels
+    def step(carry, xs):
+        at, em = xs
+        new = carry * at + em
+        return new, new
+
+    if up:
+        _, lvl = lax.scan(step, bval, (att_s[::-1], emis_s[::-1]))
+        levels = jnp.concatenate([lvl[::-1], bval[None]], axis=0)
+    else:
+        _, lvl = lax.scan(step, bval, (att_s, emis_s))
+        levels = jnp.concatenate([bval[None], lvl], axis=0)
+    return jnp.moveaxis(levels, 0, 1)                # (M, L+1, B)
 
 
 def single_scatter_sweep(mu_u: float, amp, taucum, beam_top, mu_beam, dtype):
@@ -210,8 +214,8 @@ def single_scatter_sweep(mu_u: float, amp, taucum, beam_top, mu_beam, dtype):
     amp: per-layer source amplitude (L, B) — e.g. (F0/4pi) w0 p(Theta).
     beam_top/mu_beam: beam attenuation at layer tops and within-layer decay
     cosine, (L, B) each (plane-parallel or Chapman-slant, as in
-    :func:`sweep_intensity`).
-    Uses the same closed-form layer weights as :func:`sweep_intensity` with
+    ``sweep_intensity_batch``).
+    Uses the same closed-form layer weights as ``sweep_intensity_batch`` with
     only the beam term active and zero boundary values (the TMS correction
     excludes surface-reflected light, matching cdisort's SECSCA/TMS).
     Returns (L+1, B).

@@ -1,0 +1,624 @@
+"""Pallas TPU kernels for the DISORT hot path.
+
+The pure-XLA solver (``solver.py``) is correct on every backend but
+HBM-bound on TPU: the Jacobi eigensolve carries 32 full ``(L, B)``
+component arrays through HBM on every ``fori_loop`` sweep (~7 GB/sweep at
+production sizes) and the BVP scan streams its whole carry per layer.  The
+kernels here run the same math with all intermediate state resident in
+VMEM/vector registers, so HBM traffic collapses to the kernel inputs and
+outputs — the speed-of-light for this problem (SURVEY.md section 7, "hard
+parts" 1-2).
+
+Layout contract (matches ``solver.py``): batch-last ``(L, B)`` per-layer
+scalars, with tiny matrix dims fully scalarized as Python lists of
+``(TL, TB)`` tiles inside the kernel.  The grid is ``(L/TL, B/TB)`` —
+every block is independent (the eigensolve is embarrassingly parallel over
+layers and columns).  Out-of-range tail blocks read zero-padded inputs
+(``ssa = dtau = 0`` is a well-defined vacuum layer) and their writes are
+dropped by Pallas.
+
+All kernels are f32 (the TPU compute dtype); callers fall back to the XLA
+path for f64 validation runs and non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .solver import StaticAngles, _phase_outer_tables
+
+
+# ---------------------------------------------------------------------------
+# scalarized tiny-matrix helpers (lists of (TL, TB) tiles)
+# ---------------------------------------------------------------------------
+
+def _chol(A, n, floor=1e-12):
+    """Scalarized Cholesky: A list-of-lists -> lower L list-of-lists."""
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = A[j][j]
+        for k in range(j):
+            d = d - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(d, floor))
+        L[j][j] = d
+        inv = 1.0 / d
+        for i in range(j + 1, n):
+            v = A[i][j]
+            for k in range(j):
+                v = v - L[i][k] * L[j][k]
+            L[i][j] = v * inv
+    return L
+
+
+def _addn(terms, like):
+    """Sum skipping structural (None) zeros."""
+    terms = [t for t in terms if t is not None]
+    if not terms:
+        return jnp.zeros_like(like)
+    return functools.reduce(lambda x, y: x + y, terms)
+
+
+def _mul(a, b):
+    return None if (a is None or b is None) else a * b
+
+
+def _matmul(A, B, n):
+    """Matrix product treating None entries as structural zeros."""
+    like = next(x for row in A for x in row if x is not None)
+    return [[_addn([_mul(A[i][k], B[k][j]) for k in range(n)], like)
+             for j in range(n)] for i in range(n)]
+
+
+def _lu_solve_cols(A, bs, n):
+    """Scalarized LU with bubble pivoting: solve A x = b for each b in bs.
+
+    A: list-of-lists (n x n); bs: list of rhs vectors (each a list of n
+    tiles).  Returns the solutions in the same structure.  Mirrors
+    ``linsolve.lu_solve`` (elementwise ``where`` swaps — no data-dependent
+    branching).
+    """
+    k = len(bs)
+    # augmented rows: n + k entries each
+    rows = [[A[i][j] for j in range(n)] + [b[i] for b in bs]
+            for i in range(n)]
+    for col in range(n):
+        for r in range(col + 1, n):
+            swap = jnp.abs(rows[r][col]) > jnp.abs(rows[col][col])
+            new_hi = [jnp.where(swap, rows[r][j], rows[col][j])
+                      for j in range(n + k)]
+            new_lo = [jnp.where(swap, rows[col][j], rows[r][j])
+                      for j in range(n + k)]
+            rows[col] = new_hi
+            rows[r] = new_lo
+        inv = 1.0 / rows[col][col]
+        for r in range(col + 1, n):
+            f = rows[r][col] * inv
+            rows[r] = [rows[r][j] - f * rows[col][j] for j in range(n + k)]
+    xs = [[None] * n for _ in range(k)]
+    for row in range(n - 1, -1, -1):
+        inv = 1.0 / rows[row][row]
+        for b in range(k):
+            acc = rows[row][n + b]
+            for col in range(row + 1, n):
+                acc = acc - rows[row][col] * xs[b][col]
+            xs[b][row] = acc * inv
+    return xs
+
+
+def _jacobi_sweep(Ac, V, n):
+    """One cyclic Jacobi sweep on scalarized symmetric components.
+
+    Same rotation math as ``jacobi._rotate``; state lives in vector
+    registers/VMEM inside the kernel (no HBM carry).
+    """
+    zero = jnp.zeros_like(Ac[0][0])
+    tiny = jnp.finfo(Ac[0][0].dtype).tiny * 1e3
+    for p in range(n - 1):
+        for q in range(p + 1, n):
+            apq = Ac[p][q]
+            app = Ac[p][p]
+            aqq = Ac[q][q]
+            small = jnp.abs(apq) <= tiny
+            denom = jnp.where(small, 1.0, 2.0 * apq)
+            tau = (aqq - app) / denom
+            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(jnp.sign(tau) == 0,
+                          1.0 / (tau + jnp.sqrt(1.0 + tau * tau)), t)
+            t = jnp.where(small, 0.0, t)
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s = t * c
+            new_pp = c * c * app - 2.0 * s * c * apq + s * s * aqq
+            new_qq = s * s * app + 2.0 * s * c * apq + c * c * aqq
+            for r in range(n):
+                if r == p or r == q:
+                    continue
+                arp = Ac[r][p]
+                arq = Ac[r][q]
+                nrp = c * arp - s * arq
+                nrq = s * arp + c * arq
+                Ac[r][p] = nrp
+                Ac[p][r] = nrp
+                Ac[r][q] = nrq
+                Ac[q][r] = nrq
+            Ac[p][p] = new_pp
+            Ac[q][q] = new_qq
+            Ac[p][q] = zero
+            Ac[q][p] = zero
+            for r in range(n):
+                vrp = V[r][p]
+                vrq = V[r][q]
+                V[r][p] = c * vrp - s * vrq
+                V[r][q] = s * vrp + c * vrq
+    return Ac, V
+
+
+def _jacobi(Ac, n, sweeps, unroll_sweeps=False):
+    """Cyclic Jacobi on scalarized components.
+
+    The sweep loop is a ``fori_loop`` whose carry is the tuple of matrix
+    components — on-chip state only, but a compact graph that Mosaic
+    compiles quickly (the fully unrolled 10-sweep form compiles for
+    minutes).  Returns (diag eigenvalue tiles, eigenvector lists V[r][k]).
+    """
+    from jax import lax
+
+    one = jnp.ones_like(Ac[0][0])
+    zero = jnp.zeros_like(Ac[0][0])
+    V = [[one if i == j else zero for j in range(n)] for i in range(n)]
+
+    if unroll_sweeps or n == 1:
+        for _ in range(sweeps):
+            Ac, V = _jacobi_sweep(Ac, V, n)
+    else:
+        def body(_, AV):
+            At, Vt = AV
+            Al = [list(row) for row in At]
+            Vl = [list(row) for row in Vt]
+            Al, Vl = _jacobi_sweep(Al, Vl, n)
+            return (tuple(map(tuple, Al)), tuple(map(tuple, Vl)))
+
+        At, Vt = lax.fori_loop(
+            0, sweeps, body,
+            (tuple(map(tuple, Ac)), tuple(map(tuple, V))))
+        Ac = [list(row) for row in At]
+        V = [list(row) for row in Vt]
+
+    w = [Ac[i][i] for i in range(n)]
+    return w, V
+
+
+# ---------------------------------------------------------------------------
+# fused homogeneous + thermal kernel
+# ---------------------------------------------------------------------------
+
+def _stage1_kernel(ssa_ref, pmom_ref, dtau_ref, btop_ref, slope_ref,
+                   gp_ref, gm_ref, lam_ref, expd_ref,
+                   y0p_ref, y0m_ref, y1_ref,
+                   *, ang: StaticAngles, nmom: int, sweeps: int,
+                   thermal: bool):
+    N = ang.mu.shape[0]
+    dtype = ssa_ref.dtype
+    even_tab, odd_tab = _phase_outer_tables(ang, np.float32)  # (G, N, N)
+    G = even_tab.shape[0]
+    mu = [float(m) for m in ang.mu]
+    w = [float(x) for x in ang.w]
+    sqm = [float(np.sqrt(m)) for m in ang.mu]
+    sqw = [float(np.sqrt(x)) for x in ang.w]
+
+    ssa = ssa_ref[:]                     # (TL, TB)
+    dtau = dtau_ref[:]
+    # g coefficients: g_0 = 1 static; g_l from pmom (already delta-M scaled
+    # and truncated above nstr-1 by _moment_coeffs semantics — the static
+    # tables carry the truncation, see _phase_outer_tables)
+    g = [None] * G
+    for l in range(1, min(G, nmom + 1)):
+        g[l] = pmom_ref[l - 1]
+
+    def contract(tab, i, j):
+        """sum_l tab[l,i,j] g_l with g_0 = 1 (static-skip zeros)."""
+        acc = None
+        const = float(tab[0, i, j])
+        for l in range(1, G):
+            t = float(tab[l, i, j])
+            if t == 0.0 or g[l] is None:
+                continue
+            term = t * g[l]
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros_like(ssa)
+        if const != 0.0:
+            acc = acc + const
+        return acc
+
+    Se = [[contract(even_tab, i, j) for j in range(N)] for i in range(N)]
+    So = [[contract(odd_tab, i, j) for j in range(N)] for i in range(N)]
+
+    # Uhat / Vhat (symmetric scaled operators)
+    Uhat = [[(float(i == j) - ssa * (sqw[i] * sqw[j]) * Se[i][j])
+             / (sqm[i] * sqm[j]) for j in range(N)] for i in range(N)]
+    Vhat = [[(float(i == j) - ssa * (sqw[i] * sqw[j]) * So[i][j])
+             / (sqm[i] * sqm[j]) for j in range(N)] for i in range(N)]
+
+    Lc = _chol(Uhat, N)
+    # K = Lc^T Vhat Lc (symmetric)
+    VL = _matmul(Vhat, Lc, N)
+    K = [[_addn([_mul(Lc[k][i], VL[k][j]) for k in range(N)], ssa)
+          for j in range(N)] for i in range(N)]
+
+    lam2, Y = _jacobi(K, N, sweeps)
+    lam = [jnp.sqrt(jnp.maximum(l2, 1e-12)) for l2 in lam2]
+
+    # D = M^-1/2 W^-1/2 Lc Y  (row scaling)
+    X = _matmul(Lc, Y, N)
+    D = [[X[i][k] / (sqm[i] * sqw[i]) for k in range(N)] for i in range(N)]
+
+    # Vfull = I - ssa * So * w_j ; S = -(Vfull D) / (mu_i lam_k)
+    Vfull = [[float(i == j) - ssa * So[i][j] * w[j]
+              for j in range(N)] for i in range(N)]
+    VD = _matmul(Vfull, D, N)
+    S = [[-VD[i][k] / (mu[i] * lam[k]) for k in range(N)] for i in range(N)]
+
+    gp = [[0.5 * (S[i][k] + D[i][k]) for k in range(N)] for i in range(N)]
+    gm = [[0.5 * (S[i][k] - D[i][k]) for k in range(N)] for i in range(N)]
+
+    # per-mode normalization (conditioning, matches solver.py)
+    for k in range(N):
+        mx = jnp.abs(gp[0][k])
+        for i in range(N):
+            mx = jnp.maximum(mx, jnp.abs(gp[i][k]))
+            mx = jnp.maximum(mx, jnp.abs(gm[i][k]))
+        inv = 1.0 / jnp.maximum(mx, 1e-30)
+        for i in range(N):
+            gp[i][k] = gp[i][k] * inv
+            gm[i][k] = gm[i][k] * inv
+
+    for i in range(N):
+        lam_ref[i] = lam[i]
+        expd_ref[i] = jnp.exp(-lam[i] * dtau)
+        for k in range(N):
+            gp_ref[i, k] = gp[i][k]
+            gm_ref[i, k] = gm[i][k]
+
+    if thermal:
+        Ufull = [[float(i == j) - ssa * Se[i][j] * w[j]
+                  for j in range(N)] for i in range(N)]
+        one_minus = 1.0 - ssa
+        (h,) = _lu_solve_cols(Ufull, [[one_minus] * N], N)
+        slope = slope_ref[:]
+        btop = btop_ref[:]
+        y1 = [slope * h[i] for i in range(N)]
+        (y0d,) = _lu_solve_cols(Vfull, [[2.0 * mu[i] * y1[i]
+                                         for i in range(N)]], N)
+        for i in range(N):
+            y1_ref[i] = y1[i]
+            y0p_ref[i] = btop * h[i] + 0.5 * y0d[i]
+            y0m_ref[i] = btop * h[i] - 0.5 * y0d[i]
+    else:
+        zero = jnp.zeros_like(ssa)
+        for i in range(N):
+            y1_ref[i] = zero
+            y0p_ref[i] = zero
+            y0m_ref[i] = zero
+
+
+def fused_homogeneous_thermal(
+    ssa, pmom, dtau, b_top, slope, ang: StaticAngles,
+    *, thermal: bool = True, sweeps: int | None = None,
+    block=(8, 1024), interpret=None,
+):
+    """Pallas-fused ``homogeneous_solution`` + ``thermal_particular``.
+
+    Args match ``solver.homogeneous_solution`` /
+    ``solver.thermal_particular``: ssa/dtau/b_top/slope ``(L, B)``,
+    pmom ``(L, nmom, B)`` (delta-M scaled).
+
+    Returns ``(gp, gm, lam, expd, y0p, y0m, y1)`` with the solver layouts
+    ``(N, N, L, B)`` / ``(N, L, B)``.
+    """
+    N = ang.mu.shape[0]
+    L, B = ssa.shape
+    nmom = pmom.shape[1]
+    dtype = ssa.dtype
+    if sweeps is None:
+        # cyclic Jacobi converges quadratically: measured off-diagonal
+        # residual reaches f32 machine precision in 3-4 sweeps for N <= 4
+        # on realistic (incl. near-conservative ssa -> 1) DISORT matrices;
+        # one extra sweep of margin
+        sweeps = 4 if N <= 2 else (5 if N <= 4 else 8)
+    if interpret is None:   # emulate off-TPU (CPU tests of the kernel path)
+        interpret = jax.default_backend() != "tpu"
+
+    TL, TB = block
+    TL = min(TL, L)
+    TB = min(TB, B)
+    grid = (pl.cdiv(L, TL), pl.cdiv(B, TB))
+
+    # pmom transposed to (nmom, L, B) so the block carries all moments;
+    # Mosaic rejects zero-size operands, so a moment-free problem
+    # (isotropic, e.g. pure thermal LW) ships one dummy plane the kernel
+    # statically ignores (nmom=0 -> the g loop is empty)
+    if nmom == 0:
+        pmom_t = jnp.zeros((1, L, B), dtype)
+        nblk = 1
+    else:
+        pmom_t = jnp.moveaxis(pmom, 1, 0)
+        nblk = nmom
+
+    def im2(i, j):
+        return (i, j)
+
+    def im3(i, j):
+        return (0, i, j)
+
+    def im_nn(i, j):
+        return (0, 0, i, j)
+
+    in_specs = [
+        pl.BlockSpec((TL, TB), im2, memory_space=pltpu.VMEM),          # ssa
+        pl.BlockSpec((nblk, TL, TB), im3, memory_space=pltpu.VMEM),    # pmom
+        pl.BlockSpec((TL, TB), im2, memory_space=pltpu.VMEM),          # dtau
+        pl.BlockSpec((TL, TB), im2, memory_space=pltpu.VMEM),          # btop
+        pl.BlockSpec((TL, TB), im2, memory_space=pltpu.VMEM),          # slope
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N, N, L, B), dtype),   # gp
+        jax.ShapeDtypeStruct((N, N, L, B), dtype),   # gm
+        jax.ShapeDtypeStruct((N, L, B), dtype),      # lam
+        jax.ShapeDtypeStruct((N, L, B), dtype),      # expd
+        jax.ShapeDtypeStruct((N, L, B), dtype),      # y0p
+        jax.ShapeDtypeStruct((N, L, B), dtype),      # y0m
+        jax.ShapeDtypeStruct((N, L, B), dtype),      # y1
+    ]
+    out_specs = [
+        pl.BlockSpec((N, N, TL, TB), im_nn, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, N, TL, TB), im_nn, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, TL, TB), im3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, TL, TB), im3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, TL, TB), im3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, TL, TB), im3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, TL, TB), im3, memory_space=pltpu.VMEM),
+    ]
+
+    kernel = functools.partial(
+        _stage1_kernel, ang=ang, nmom=nmom, sweeps=sweeps, thermal=thermal)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(ssa, pmom_t, dtau, b_top, slope)
+
+
+# ---------------------------------------------------------------------------
+# BVP layer-coupling solve (factored block-tridiagonal elimination)
+# ---------------------------------------------------------------------------
+
+def _bvp_fwd_kernel(gp_ref, gm_ref, e_ref, d_ref, alb_ref,
+                    P_out, g_out, Rs, Ps, gs,
+                    *, N: int, L: int, CL: int, wmu: tuple):
+    """Forward elimination for one (B-tile, layer-chunk) grid cell.
+
+    Each grid cell processes ``CL`` consecutive layers (the TPU lowering
+    needs >= 8 in the sublane block dim); the carry (R, P, g) lives in VMEM
+    scratch and persists across the chunk-innermost grid dimension.
+    Mirrors the ``fwd`` body of ``solver.solve_bvp`` scalarized over the
+    matrix dims.  Padded tail sublayers compute garbage whose writes Pallas
+    drops; nothing downstream consumes their carry.
+    """
+    c = pl.program_id(1)
+    zero = jnp.zeros_like(alb_ref[0])
+
+    @pl.when(c == 0)
+    def _():
+        for i in range(N):
+            for j in range(2 * N):
+                Rs[i, j] = zero
+        for i in range(2 * N):
+            for j in range(N):
+                Ps[i, j] = zero
+            gs[i] = zero
+
+    one = jnp.ones_like(zero)
+
+    # one fori_loop iteration per sublayer (graph stays ~CL-times smaller
+    # than a full unroll — the remote Mosaic compile is graph-size-bound);
+    # the carry flows through the VMEM scratch refs
+    def body(s, _):
+        Rp = [[Rs[i, j] for j in range(2 * N)] for i in range(N)]
+        Pp = [[Ps[i, j] for j in range(N)] for i in range(2 * N)]
+        gpv = [gs[i] for i in range(2 * N)]
+
+        gpn = [[gp_ref[i, k, s] for k in range(N)] for i in range(N)]
+        gmn = [[gm_ref[i, k, s] for k in range(N)] for i in range(N)]
+        En = [e_ref[i, s] for i in range(N)]
+        dn = [d_ref[i, s] for i in range(2 * N)]
+
+        # blocks (N rows x 2N cols): Ttop = [gm, gp E]; Blow = [gp E, gm];
+        # Rn = [gm E, gp]; Dn = [gp, gm E]
+        Ttop = [[gmn[i][j] for j in range(N)]
+                + [gpn[i][j] * En[j] for j in range(N)] for i in range(N)]
+        Blow = [[gpn[i][j] * En[j] for j in range(N)]
+                + [gmn[i][j] for j in range(N)] for i in range(N)]
+        Rn = [[gmn[i][j] * En[j] for j in range(N)]
+              + [gpn[i][j] for j in range(N)] for i in range(N)]
+        Dn = [[gpn[i][j] for j in range(N)]
+              + [gmn[i][j] * En[j] for j in range(N)] for i in range(N)]
+
+        # Lambertian reflection folds in only on the last layer
+        last = (c * CL + s == L - 1).astype(zero.dtype)
+        alb2 = 2.0 * alb_ref[0] * last
+        for j in range(2 * N):
+            refl = _addn([float(wmu[r]) * Rn[r][j] for r in range(N)], zero)
+            for i in range(N):
+                Blow[i][j] = Blow[i][j] - alb2 * refl
+
+        # Q = R_prev P_prev (N x N); Mtop = -Ttop + Q Dn
+        Q = [[_addn([Rp[i][k] * Pp[k][j] for k in range(2 * N)], zero)
+              for j in range(N)] for i in range(N)]
+        Mtop = [[-Ttop[i][j]
+                 + _addn([Q[i][k] * Dn[k][j] for k in range(N)], zero)
+                 for j in range(2 * N)] for i in range(N)]
+        Mn = Mtop + Blow                               # (2N) rows x (2N)
+
+        # rhs: [dn_top - R_prev g_prev ; dn_bot], plus N unit columns
+        # selecting the lower block of C (csel)
+        rhs_vec = [dn[i] - _addn([Rp[i][k] * gpv[k]
+                                  for k in range(2 * N)], zero)
+                   for i in range(N)] + [dn[N + i] for i in range(N)]
+        unit_cols = [[one if r == N + q else zero for r in range(2 * N)]
+                     for q in range(N)]
+        sols = _lu_solve_cols(Mn, unit_cols + [rhs_vec], 2 * N)
+        Pn = [[sols[q][r] for q in range(N)] for r in range(2 * N)]
+        gn = sols[N]
+
+        for i in range(2 * N):
+            for j in range(N):
+                P_out[i, j, s] = Pn[i][j]
+                Ps[i, j] = Pn[i][j]
+            g_out[i, s] = gn[i]
+            gs[i] = gn[i]
+        for i in range(N):
+            for j in range(2 * N):
+                Rs[i, j] = Rn[i][j]
+        return 0
+
+    jax.lax.fori_loop(0, CL, body, 0)
+
+
+def _bvp_bwd_kernel(gp_ref, gm_ref, e_ref, P_ref, g_ref,
+                    a_out, b_out, dxs,
+                    *, N: int, L: int, CL: int, nchunk: int):
+    """Back-substitution (layer chunks in reverse grid order)."""
+    j = pl.program_id(1)
+    c = nchunk - 1 - j                     # real chunk index
+    zero = jnp.zeros_like(g_ref[0, 0])
+
+    @pl.when(j == 0)
+    def _():
+        for i in range(N):
+            dxs[i] = zero
+
+    def body(i_s, _):
+        s = CL - 1 - i_s
+        dx = [dxs[i] for i in range(N)]
+        xn = [g_ref[i, s] + _addn([P_ref[i, k, s] * dx[k]
+                                   for k in range(N)], zero)
+              for i in range(2 * N)]
+        for i in range(N):
+            a_out[i, s] = xn[i]
+            b_out[i, s] = xn[N + i]
+        # dx_{l-1} = gp x_a + gm E x_b of THIS layer; padded tail sublayers
+        # (l >= L, first iterations of the last chunk) must not pollute the
+        # carry feeding the valid layers.  NOTE: must be a select, not an
+        # arithmetic mask — the padded lanes hold garbage (often NaN) and
+        # 0 * NaN = NaN would still poison the carry.
+        valid = c * CL + s <= L - 1
+        for i in range(N):
+            dxs[i] = jnp.where(valid, _addn(
+                [gp_ref[i, k, s] * xn[k] for k in range(N)]
+                + [gm_ref[i, k, s] * e_ref[k, s] * xn[N + k]
+                   for k in range(N)],
+                zero), dx[i])
+        return 0
+
+    jax.lax.fori_loop(0, CL, body, 0)
+
+
+def solve_bvp_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
+                     albedo, ang: StaticAngles,
+                     *, block_b=2048, interpret=None):
+    """Pallas implementation of ``solver.solve_bvp`` (same contract)."""
+    dtype = sol.lam.dtype
+    N, L, B = sol.lam.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    wmu = tuple(float(x) for x in (ang.w * ang.mu))
+
+    gp, gm, E = sol.gp, sol.gm, sol.expd
+    d_up = jnp.concatenate(
+        [(ptop_m[:, 0] - ftop)[:, None, :],
+         ptop_m[:, 1:] - pbot_m[:, : L - 1]], axis=1)
+    d_lo = jnp.concatenate(
+        [ptop_p[:, 1:] - pbot_p[:, : L - 1],
+         bot_rhs[:, None, :]], axis=1)
+    dblk = jnp.concatenate([d_up, d_lo], axis=0)        # (2N, L, B)
+    alb = albedo[None]                                  # (1, B)
+
+    TB = min(block_b, B)
+    # the TPU lowering wants the sublane block dim divisible by 8 (or the
+    # full axis): process CL layers per grid cell with an in-kernel loop
+    CL = L if L < 8 else 8
+    nchunk = pl.cdiv(L, CL)
+    grid = (pl.cdiv(B, TB), nchunk)
+
+    def im_nn(i, c):
+        return (0, 0, c, i)
+
+    def im_n(i, c):
+        return (0, c, i)
+
+    def im_b(i, c):
+        return (0, i)
+
+    Ps_hbm, gs_hbm = pl.pallas_call(
+        functools.partial(_bvp_fwd_kernel, N=N, L=L, CL=CL, wmu=wmu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N, N, CL, TB), im_nn, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N, CL, TB), im_nn, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, CL, TB), im_n, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * N, CL, TB), im_n, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB), im_b, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2 * N, N, CL, TB), im_nn, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * N, CL, TB), im_n, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2 * N, N, L, B), dtype),
+            jax.ShapeDtypeStruct((2 * N, L, B), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, 2 * N, TB), dtype),   # R carry
+            pltpu.VMEM((2 * N, N, TB), dtype),   # P carry
+            pltpu.VMEM((2 * N, TB), dtype),      # g carry
+        ],
+        interpret=interpret,
+    )(gp, gm, E, dblk, alb)
+
+    def rev_nn(i, j):
+        return (0, 0, nchunk - 1 - j, i)
+
+    def rev_n(i, j):
+        return (0, nchunk - 1 - j, i)
+
+    a, b = pl.pallas_call(
+        functools.partial(_bvp_bwd_kernel, N=N, L=L, CL=CL, nchunk=nchunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N, N, CL, TB), rev_nn, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N, CL, TB), rev_nn, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, CL, TB), rev_n, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * N, N, CL, TB), rev_nn, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * N, CL, TB), rev_n, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, CL, TB), rev_n, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, CL, TB), rev_n, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, L, B), dtype),
+            jax.ShapeDtypeStruct((N, L, B), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((N, TB), dtype)],
+        interpret=interpret,
+    )(gp, gm, E, Ps_hbm, gs_hbm)
+    return a, b

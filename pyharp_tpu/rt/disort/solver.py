@@ -225,6 +225,28 @@ def _moment_coeffs(ssa, pmom, ang: StaticAngles, dtype):
     return g  # (L, G, B)
 
 
+def full_operators(ssa, pmom, ang: StaticAngles):
+    """The reduced scattering operators V = I - w0 So W, U = I - w0 Se W.
+
+    A cheap contraction (no eigensolve) — used to feed the beam/general
+    particular solutions when the eigenstructure itself comes from the
+    fused Pallas kernel (``pallas_kernels.fused_homogeneous_thermal``).
+    Returns ``(Vfull, Ufull)``, each ``(N, N, L, B)``.
+    """
+    dtype = ssa.dtype
+    N = ang.mu.shape[0]
+    w = jnp.asarray(ang.w, dtype)
+    even_tab, odd_tab = _phase_outer_tables(ang, dtype)
+    g = _moment_coeffs(ssa, pmom, ang, dtype)
+    Se = _ucontract_g(g, even_tab)
+    So = _ucontract_g(g, odd_tab)
+    eye = jnp.eye(N, dtype=dtype)[:, :, None, None]
+    ssa_b = ssa[None, None, :, :]
+    Vfull = eye - ssa_b * (So * w[None, :, None, None])
+    Ufull = eye - ssa_b * (Se * w[None, :, None, None])
+    return Vfull, Ufull
+
+
 def homogeneous_solution(
     ssa, pmom, dtau, ang: StaticAngles
 ) -> tuple[LayerSolution, jnp.ndarray, jnp.ndarray]:
