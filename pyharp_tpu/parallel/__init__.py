@@ -12,8 +12,9 @@ from .mesh import (
     band_input_specs,
     shard_band_inputs,
 )
+from .sharded import sharded_forward, sharded_band_flux
 
 __all__ = [
     "init_distributed", "make_radiation_mesh", "band_input_specs",
-    "shard_band_inputs",
+    "shard_band_inputs", "sharded_forward", "sharded_band_flux",
 ]

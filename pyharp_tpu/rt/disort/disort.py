@@ -115,7 +115,14 @@ class Disort:
 
     # -- helpers -----------------------------------------------------------
 
-    def _band_edges(self, dtype):
+    def _band_edges(self, dtype, bc=None):
+        # traced per-bin edges (bc['wvnmlo'/'wvnmhi'], shape (nwave,)) take
+        # precedence over the static options tuples: under shard_map the
+        # wave axis is sharded and each device must see its local slice,
+        # which only an array input can provide
+        if bc is not None and "wvnmlo" in bc:
+            return (jnp.asarray(bc["wvnmlo"], dtype),
+                    jnp.asarray(bc["wvnmhi"], dtype))
         wl = self.options.wave_lower
         wu = self.options.wave_upper
         if not wl or not wu:
@@ -246,7 +253,7 @@ class Disort:
                 (nwave, ncol))
             # temf: (ncol, nlvl) bottom-up -> top-down levels (nlvl, ncol)
             tlev = jnp.flip(jnp.asarray(temf, dtype), axis=-1).T
-            wnlo, wnhi = self._band_edges(dtype)
+            wnlo, wnhi = self._band_edges(dtype, bc)
             if wnlo is None:
                 blev = jnp.broadcast_to(
                     planck_total(tlev)[:, None, :], (L + 1, nwave, ncol))

@@ -114,6 +114,28 @@ def test_ck_reduction_collective_over_wave():
 
 
 @needs_mesh
+def test_shard_map_forward_matches_single_device():
+    """The explicit shard_map path (production TPU route for the Pallas
+    kernels, which GSPMD cannot partition) must agree with the plain
+    single-device forward, including wave-sharded Planck band edges."""
+    from pyharp_tpu.parallel import sharded_forward, sharded_band_flux
+
+    ds, prop, bc, temf = _problem()
+    expect = np.asarray(ds.forward(prop, bc, temf))
+
+    mesh = make_radiation_mesh(n_col=4, n_wave=2)
+    got = sharded_forward(ds, mesh, prop, bc, temf)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-12,
+                               atol=1e-14)
+
+    w = jnp.full((prop.shape[0],), 1.0 / prop.shape[0], prop.dtype)
+    want = np.asarray(jnp.einsum("g,g...->...", w, jnp.asarray(expect)))
+    got2 = sharded_band_flux(ds, mesh, prop, bc, w, temf)
+    np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-12,
+                               atol=1e-14)
+
+
+@needs_mesh
 def test_shard_band_inputs_helper():
     mesh = make_radiation_mesh(n_col=8, n_wave=1)
     conc = jnp.ones((8, 10, 2))
