@@ -81,11 +81,16 @@ def main():
     out = jax.block_until_ready(step(*args))  # compile + warm
     assert np.all(np.isfinite(np.asarray(out[:8])))
 
-    n_iters = 5 if backend != "cpu" else 2
+    # timing fence: a device->host scalar read, not block_until_ready —
+    # on the tunneled TPU platform the latter can resolve before device
+    # execution completes for some programs (the read always drains the
+    # queue; its one-off RTT is amortized over the iterations)
+    n_iters = 10 if backend != "cpu" else 2
+    float(step(*args)[0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = step(*args)
-    jax.block_until_ready(out)
+    float(out[0, 0, 0])
     dt = (time.perf_counter() - t0) / n_iters
 
     cols_per_s = ncol / dt

@@ -47,15 +47,24 @@ def trace(logdir: str = "/tmp/pyharp_trace"):
         jax.profiler.stop_trace()
 
 
-def measure(fn, *args, iters: int = 10, warmup: int = 1) -> float:
+def _force(out) -> float:
+    """Force execution by fetching one scalar from the first array leaf.
+
+    On tunneled/remote TPU platforms ``jax.block_until_ready`` can resolve
+    before device execution completes for some programs; a device->host
+    scalar read always drains the queue.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf.reshape(-1)[0])
+
+
+def measure(fn, *args, iters: int = 10, warmup: int = 2) -> float:
     """Steady-state seconds per call of an already-jitted ``fn``."""
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _force(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _force(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 
