@@ -97,6 +97,9 @@ class RadiationBandOptions:
     beer_lambert: BeerLambertOptions = BeerLambertOptions()
     l2l: Layer2LevelOptions = Layer2LevelOptions(check_positivity=False)
     ck_weights: tuple[float, ...] = ()  # correlated-k quadrature weights
+    # spectral sample grid [cm^-1] for regular (LBL) bands; injected as the
+    # attenuators' `wavenumber` kwarg when the caller does not supply one
+    wavenumber: tuple[float, ...] = ()
 
     def replace(self, **kw) -> "RadiationBandOptions":
         return dataclasses.replace(self, **kw)
@@ -208,6 +211,10 @@ class RadiationBand:
         ``atm`` carries attenuator kwargs (pres/temp/wavelength/wavenumber).
         """
         atm = dict(atm or {})
+        if (self.options.wavenumber and "wavenumber" not in atm
+                and "wavelength" not in atm):
+            atm["wavenumber"] = jnp.asarray(
+                np.asarray(self.options.wavenumber), self.dtype)
         prop = self.compute_optics(conc, dz, **atm)
 
         # blackboard export (eager mode only; see module docstring)
@@ -225,3 +232,39 @@ class RadiationBand:
         """
         w = jnp.asarray(np.asarray(self.options.ck_weights), flux.dtype)
         return jnp.einsum("g,g...->...", w, flux)
+
+    @property
+    def bins_are_integrated(self) -> bool:
+        """True when per-bin fluxes are already band-integrated [W/m^2].
+
+        Thermal bands with per-bin edges emit each bin's own Planck
+        integral over [wvnmlo, wvnmhi], so the band flux is a PLAIN SUM
+        over bins (width-weighting would double-count the bin width).
+        Beam-only bands follow the fbeam units — conventionally spectral
+        flux density [W/m^2/cm^-1] — and integrate as sum(width_i * F_i).
+        DISORT's own convention is the same: with the planck flag on, fbeam
+        and all fluxes are W/m^2 per bin; otherwise units are arbitrary.
+        """
+        if isinstance(self.rtsolver, Disort):
+            return (self.rtsolver.options.has("planck")
+                    and bool(self.options.wave_lower))
+        # BeerLambert integrates Planck over the bin iff edges are set
+        return bool(self.options.wave_lower)
+
+    def spectral_reduce(self, flux: Array) -> Array:
+        """Band flux from per-bin fluxes, by this band's grid convention.
+
+        ck bands: g-point quadrature; thermal regular bands: plain sum of
+        bin-integrated fluxes; beam regular bands: rectangle-rule
+        sum(width_i * F_i) with F in spectral-density units; no edges:
+        plain sum.
+        """
+        if self.options.ck_weights:
+            return self.reduce_ck(flux)
+        if self.bins_are_integrated:
+            return flux.sum(axis=0)
+        if self.options.wave_lower and self.options.wave_upper:
+            w = (jnp.asarray(np.asarray(self.options.wave_upper), flux.dtype)
+                 - jnp.asarray(np.asarray(self.options.wave_lower), flux.dtype))
+            return jnp.einsum("g,g...->...", w, flux)
+        return flux.sum(axis=0)

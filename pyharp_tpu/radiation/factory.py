@@ -111,6 +111,7 @@ def create_radiation_options(
         attenuators = []
         ck_weights: tuple[float, ...] = ()
         nwave = None
+        wave_grid: tuple[float, ...] = ()
         if grid_type == "cktable":
             for oname in b.get("opacity", ()):
                 cands = sources.get(oname, [])
@@ -133,6 +134,14 @@ def create_radiation_options(
         else:  # regular grid
             res = float(b.get("resolution", 1.0))
             nwave = max(int(round((wmax - wmin) / res)) + 1, 2)
+            # sample points wmin + i*res (reference `resolution` semantics,
+            # amarsw-lbl.yaml); each sample owns a bin of width `res`
+            # centered on it, so the per-bin edges SUBDIVIDE the band:
+            # Planck emission per bin is the sub-bin share, and the band
+            # integral is the rectangle rule sum(width_i * F_i) — matching
+            # the hand integration in examples/amars_sw.py (reference
+            # amars_sw.cpp:174-196).
+            wave_grid = tuple(wmin + i * res for i in range(nwave))
             for oname in b.get("opacity", ()):
                 src = _pick_source(sources.get(oname, []), bname)
                 atype = _CLASS_MAP.get(src["class"], src["class"])
@@ -161,13 +170,24 @@ def create_radiation_options(
             raise ValueError(f"Unknown rt-solver: {b.get('rt-solver')}")
 
         nw = nwave or 1
+        if wave_grid:
+            # regular grid: per-bin edges subdivide [wmin, wmax]
+            wave_lower = tuple(w - res / 2 for w in wave_grid)
+            wave_upper = tuple(w + res / 2 for w in wave_grid)
+        else:
+            # cktable: every g-point represents the WHOLE band (weights sum
+            # to 1), so each bin carries the full band edges — matching the
+            # reference LW driver (amars_lw.cpp:18-38 disort_options_lw)
+            wave_lower = (float(wmin),) * nw
+            wave_upper = (float(wmax),) * nw
         band_opts.append(RadiationBandOptions(
             name=bname,
             solver_name=solver_name,
             nlyr=nlyr,
             ncol=ncol,
-            wave_lower=(float(wmin),) * nw,
-            wave_upper=(float(wmax),) * nw,
+            wave_lower=wave_lower,
+            wave_upper=wave_upper,
+            wavenumber=wave_grid,
             attenuators=tuple(attenuators),
             disort=DisortOptions(flags=flags, nstr=nstr, nmom=nstr,
                                  nwave=nw, ncol=ncol, nlyr=nlyr),

@@ -78,8 +78,10 @@ class Radiation:
         """Total net band-summed flux ``(ncol, nlyr+1, 2)`` (bottom-up).
 
         ``bc`` may be flat (shared across bands) or nested per band name.
-        ck-weighted bands reduce over their g-point axis; ``regular`` bands
-        reduce by their per-bin width if band edges are configured, else sum.
+        Per-band spectral reduction follows the band's grid convention
+        (:meth:`RadiationBand.spectral_reduce`): ck quadrature, plain sum of
+        bin-integrated thermal bins, or rectangle-rule width weighting for
+        beam bands in spectral-density units.
         """
         total = None
         aux: dict[str, Array] = {}
@@ -87,14 +89,7 @@ class Radiation:
             band_bc = bc.get(name, bc) if isinstance(bc, dict) else bc
             flux = band.forward(conc, dz, band_bc, atm)  # (nwave,ncol,nlvl,2)
             aux[f"radiation/{name}/flux"] = flux
-            if band.options.ck_weights:
-                bflx = band.reduce_ck(flux)
-            elif band.options.wave_lower and band.options.wave_upper:
-                w = (jnp.asarray(band.options.wave_upper, flux.dtype)
-                     - jnp.asarray(band.options.wave_lower, flux.dtype))
-                bflx = jnp.einsum("g,g...->...", w, flux)
-            else:
-                bflx = flux.sum(axis=0)
+            bflx = band.spectral_reduce(flux)
             total = bflx if total is None else total + bflx
 
         if area is None and "coordinate/area1" in shared:

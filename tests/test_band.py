@@ -165,6 +165,101 @@ def test_yaml_factory_amarsw_schema(tmp_path):
     assert float(total[0, -1, 0]) > 0
 
 
+def _regular_sw_config(res):
+    """amarsw-lbl.yaml-style regular-grid SW aerosol band config."""
+    return {
+        "opacity-sources": [
+            {"name": "S8", "class": "S8Fuller", "data": "s8_k_fuller.txt"},
+            {"name": "H2SO4", "class": "H2SO4Simple", "data": "h2so4.txt"},
+        ],
+        "bands": ["SW"],
+        "SW": {"units": "cm-1", "grid-type": "regular",
+               "wavenumber-range": [2000.0, 50000.0], "resolution": res,
+               "opacity": ["S8", "H2SO4"], "rt-solver": "Disort"},
+        "Disort-flags": {"lamber": True, "onlyfl": True, "quiet": True},
+    }
+
+
+def test_yaml_regular_grid_matches_hand_integration():
+    """A regular-grid YAML band must reproduce the hand-integrated
+    examples/amars_sw.py flux (VERDICT r3 item 1: the per-bin edges must
+    subdivide [wmin, wmax]; width weighting must not overcount)."""
+    nwave, ncol, nlyr = 40, 1, 8
+    wmin, wmax = 2000.0, 50000.0
+    res = (wmax - wmin) / (nwave - 1)
+    species = {"S8": (0, 256.0e-3), "H2SO4": (1, 98.0e-3)}
+    ro = create_radiation_options(_regular_sw_config(res), species,
+                                  nlyr=nlyr, ncol=ncol, nstr=8)
+    bop = ro.band_options[0]
+    assert len(bop.wave_lower) == nwave
+    # per-bin edges subdivide the band: each bin has width == res
+    widths = np.asarray(bop.wave_upper) - np.asarray(bop.wave_lower)
+    np.testing.assert_allclose(widths, res, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(bop.wavenumber),
+                               np.linspace(wmin, wmax, nwave), rtol=1e-12)
+
+    rad = Radiation(ro, dtype=jnp.float64)
+    conc = jnp.full((ncol, nlyr, 2), 1e-5, jnp.float64)
+    dz = jnp.full((nlyr,), 2000.0, jnp.float64)
+    wave = jnp.linspace(wmin, wmax, nwave, dtype=jnp.float64)
+    fbeam = jnp.broadcast_to(
+        (1e-9 * wave**3 / (jnp.exp(1.4388 * wave / 5772.0) - 1.0))[:, None],
+        (nwave, ncol))
+    bc = dict(fbeam=fbeam, umu0=jnp.ones((nwave, ncol)),
+              albedo=jnp.ones((nwave, ncol)))
+    total = rad.forward(conc, dz, bc)   # (ncol, nlvl, 2)
+
+    # hand path (examples/amars_sw.py style): attenuators wired directly to
+    # Disort, rectangle-rule integration sum(F) * res
+    band = rad.bands["SW"]
+    prop = band.compute_optics(conc, dz, wavenumber=wave)
+    flux = band.rtsolver.forward(prop, bc)
+    want = np.asarray(flux.sum(axis=0) * res)
+    np.testing.assert_allclose(np.asarray(total), want, rtol=1e-3)
+    # regression: the r3 bug overcounted by ~nwave
+    assert np.all(np.asarray(total)[..., 1] < want[..., 1] * 1.5)
+
+
+def test_yaml_regular_grid_thermal_planck_subbins():
+    """A regular-grid thermal band must emit each bin's sub-bin Planck
+    share: TOA upward flux over a transparent atmosphere equals
+    pi * B(btemp) integrated over the band (NOT nwave times it)."""
+    from pyharp_tpu.rt.disort.planck import planck_band
+
+    nwave, ncol, nlyr = 16, 1, 4
+    wmin, wmax, btemp = 1.0, 1500.0, 260.0
+    res = (wmax - wmin) / (nwave - 1)
+    config = {
+        "opacity-sources": [
+            {"name": "S8", "class": "S8Fuller", "data": "s8_k_fuller.txt"},
+        ],
+        "bands": ["LW"],
+        "LW": {"units": "cm-1", "grid-type": "regular",
+               "wavenumber-range": [wmin, wmax], "resolution": res,
+               "opacity": ["S8"], "rt-solver": "Disort",
+               "flags": ["thermal_emission"]},
+        "Disort-flags": {"lamber": True, "onlyfl": True, "quiet": True},
+    }
+    species = {"S8": (0, 256.0e-3)}
+    ro = create_radiation_options(config, species, nlyr=nlyr, ncol=ncol)
+    rad = Radiation(ro, dtype=jnp.float64)
+    assert rad.bands["LW"].bins_are_integrated
+
+    conc = jnp.full((ncol, nlyr, 2), 1e-30, jnp.float64)  # ~transparent
+    dz = jnp.full((nlyr,), 100.0, jnp.float64)
+    atm = dict(temp=jnp.full((ncol, nlyr), 200.0, jnp.float64))
+    bc = dict(albedo=jnp.zeros((nwave, ncol)),
+              btemp=jnp.full((nwave, ncol), btemp, jnp.float64))
+    total = rad.forward(conc, dz, bc, atm)
+
+    want = np.pi * float(planck_band(
+        jnp.asarray(btemp, jnp.float64),
+        jnp.asarray(wmin - res / 2, jnp.float64),
+        jnp.asarray(wmax + res / 2, jnp.float64)))
+    got = float(total[0, -1, 0])
+    np.testing.assert_allclose(got, want, rtol=2e-3)
+
+
 def test_spherical_flux_correction_matches_reference_loop():
     from pyharp_tpu.utils.spherical import spherical_flux_correction
 
