@@ -18,6 +18,16 @@ tables, 8-stream DISORT with Planck sources, 1-150 cm^-1 band):
 from __future__ import annotations
 
 import os
+import sys
+
+# runnable from a clean shell: if the package is not installed, import it
+# from the repo checkout this file lives in (sys.path insertion does NOT
+# disturb PYTHONPATH, so the axon TPU site hook keeps working)
+try:
+    import pyharp_tpu  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +117,10 @@ def build(ncol=1, nlyr=40, nstr=8, dtype=jnp.float32, table=None):
 def main():
     import time
 
+    if jax.default_backend() != "cpu":
+        # persistent compile cache (see examples/amars_sw.py)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     forward, inputs = build()
     jitted = jax.jit(forward)
     out = jax.block_until_ready(jitted(*inputs))

@@ -21,6 +21,17 @@ function; tables and profiles load once on the host.
 from __future__ import annotations
 
 import functools
+import os
+import sys
+
+# runnable from a clean shell: if the package is not installed, import it
+# from the repo checkout this file lives in (sys.path insertion does NOT
+# disturb PYTHONPATH, so the axon TPU site hook keeps working)
+try:
+    import pyharp_tpu  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -155,9 +166,20 @@ def heating_rates(integrated, atm):
     return -(fnet[1:] - fnet[:-1]) / (atm["rho"] * CP * dz)
 
 
+def enable_compile_cache():
+    """Persistent compile cache (first remote-TPU Mosaic compile of the full
+    solver graph costs minutes; later runs hit /tmp/jax_cache_tpu).  CPU is
+    excluded: XLA:CPU AOT reload is unreliable here (see tests/conftest.py).
+    """
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
     import time
 
+    enable_compile_cache()
     forward, inputs, atm = build()
     jitted = jax.jit(forward)
     out = jax.block_until_ready(jitted(*inputs))

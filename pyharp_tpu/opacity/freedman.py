@@ -6,16 +6,13 @@ The reference's legacy absorber factory enumerates ``FreedmanSimple``,
 implementations live in the host model (CANOE), not in the reference repo.
 This module implements the physics those classes wrap:
 
-* **FreedmanMean** — a Rosseland-mean gas opacity surface
-  ``kappa(P, T, [M/H])`` in the spirit of the analytic fit of Freedman et
-  al. (2014), ApJS 214, 25.  The *default* coefficient set is a smooth
-  stand-in calibration reproducing the qualitative behavior of solar-
-  composition H2/He-dominated gas (kappa rising steeply with T through the
-  molecular-to-alkali transition, roughly linear in P from CIA + pressure
-  broadening, increasing with metallicity); it is NOT a transcription of
-  the paper's Table 4.  For production work pass ``kappa_fn`` evaluating
-  the published fit (or interpolating the tabulated means) — the class only
-  fixes the attenuator plumbing (units, layout, species mass density).
+* **FreedmanMean** — the Rosseland-mean gas opacity surface
+  ``kappa(P, T, [M/H])``.  The default is :func:`freedman2014_kappa`, the
+  analytic low-P + high-P fit of Freedman et al. (2014), ApJS 214, 25
+  (their eqs. 3-5 with the Table 2 coefficients, as transcribed in several
+  public radiative-transfer codes).  Pass ``kappa_fn`` to substitute a
+  table interpolator; the legacy :class:`FreedmanCoeffs` tanh stand-in
+  from r3 remains available via ``kappa_fn=FreedmanMean.coeff_surface``.
 * **FreedmanSimple** — a power-law opacity
   ``kappa = k0 (P / P0)^a (T / T0)^b`` (the classic semi-grey ansatz the
   CANOE "simple" variants configure), fully option-driven.
@@ -34,6 +31,51 @@ import jax.numpy as jnp
 from jax import Array
 
 from .base import AttenuatorOptions
+
+
+# Freedman et al. (2014) analytic-fit coefficients (their Table 2).
+# c1..c7 parameterize the low-pressure term (eq. 4); c8..c13 the
+# high-pressure term (eq. 5) with separate sets below/above 800 K.
+_F14_LOW = (10.602, 2.882, 6.09e-15, 2.954, -2.526, 0.843, -5.490)
+_F14_HI_COLD = (-14.051, 3.055, 0.024, 1.877, -0.445, 0.8321)   # T < 800 K
+_F14_HI_HOT = (82.241, -55.456, 8.754, 0.7048, -0.0414, 0.8321)  # T >= 800 K
+
+
+def freedman2014_kappa(pres: Array, temp: Array, met: float = 0.0) -> Array:
+    """Rosseland-mean gas opacity [cm^2/g] — Freedman et al. (2014) fit.
+
+    ``kappa = kappa_lowP + kappa_highP`` (their eq. 3) with
+
+        log kappa_lowP = c1 atan(logT - c2)
+                         - c3/(logP + c4) exp((logT - c5)^2)
+                         + c6 met + c7                         (eq. 4)
+        log kappa_highP = c8 + c9 logT + c10 logT^2
+                          + logP (c11 + c12 logT)
+                          + c13 met (1/2 + atan((logT-2.5)/0.2)/pi)  (eq. 5)
+
+    P in dyn/cm^2 (input here is Pa, converted), T in K, met = [M/H] dex.
+    The high-P coefficient set switches at 800 K (Table 2); implemented as
+    a ``where`` so the surface stays jittable (the fit is continuous only
+    approximately at the seam, as in the paper).
+    """
+    dtype = jnp.result_type(pres, temp)
+    p_cgs = jnp.maximum(jnp.asarray(pres, dtype) * 10.0, 1e-10)
+    T = jnp.maximum(jnp.asarray(temp, dtype), 1.0)
+    lt = jnp.log10(T)
+    lp = jnp.log10(p_cgs)
+
+    c1, c2, c3, c4, c5, c6, c7 = _F14_LOW
+    logk_low = (c1 * jnp.arctan(lt - c2)
+                - c3 / (lp + c4) * jnp.exp((lt - c5) ** 2)
+                + c6 * met + c7)
+
+    def _high(cs):
+        c8, c9, c10, c11, c12, c13 = cs
+        return (c8 + c9 * lt + c10 * lt * lt + lp * (c11 + c12 * lt)
+                + c13 * met * (0.5 + jnp.arctan((lt - 2.5) / 0.2) / jnp.pi))
+
+    logk_high = jnp.where(T < 800.0, _high(_F14_HI_COLD), _high(_F14_HI_HOT))
+    return 10.0 ** logk_low + 10.0 ** logk_high
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,6 +134,10 @@ class FreedmanMean:
         """Rosseland-mean kappa [cm^2/g] from P [Pa], T [K]."""
         if self.kappa_fn is not None:
             return self.kappa_fn(pres, temp)
+        return freedman2014_kappa(pres, temp, self.met)
+
+    def coeff_surface(self, pres: Array, temp: Array) -> Array:
+        """The r3 tanh stand-in surface (kept for configs that tuned it)."""
         c = self.coeffs
         p_cgs = jnp.maximum(pres.astype(self.dtype) * 10.0, 1e-10)
         T = jnp.maximum(temp.astype(self.dtype), 1.0)

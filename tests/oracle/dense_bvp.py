@@ -42,6 +42,7 @@ def solve_dense(
     albedo=0.0, fisot=0.0,
     b_top=None, b_slope=None, b_surface=0.0, b_toptemis=0.0,
     mode=0,
+    utaus=(),
 ):
     nlyr = len(dtau)
     mu, w = double_gauss(n_half)
@@ -156,5 +157,16 @@ def solve_dense(
         u = basis(n, t) @ c[2 * N * n:2 * N * (n + 1)] + particular(n, t)
         Iup[lvl] = u[:N]
         Idn[lvl] = u[N:]
+
+    # exact intensities at arbitrary cumulative depths (USRTAU oracle)
+    Iup_t = np.zeros((len(utaus), N))
+    Idn_t = np.zeros((len(utaus), N))
+    for q, t in enumerate(utaus):
+        n = int(np.clip(np.searchsorted(taucum, t, side="right") - 1,
+                        0, nlyr - 1))
+        tl = min(max(t - taucum[n], 0.0), dtau[n])
+        u = basis(n, tl) @ c[2 * N * n:2 * N * (n + 1)] + particular(n, tl)
+        Iup_t[q] = u[:N]
+        Idn_t[q] = u[N:]
     return dict(flup=flup, rfldn=rfldn, rfldir=rfldir, Iup=Iup, Idn=Idn,
-                mu=mu, w=w)
+                Iup_t=Iup_t, Idn_t=Idn_t, mu=mu, w=w)

@@ -172,3 +172,33 @@ def test_flux_consistency_with_forward():
     f1 = np.asarray(ds.forward(prop, bc))
     out = ds.intensities(prop, bc)
     np.testing.assert_allclose(np.asarray(out["flux"]), f1, rtol=1e-12)
+
+
+def test_user_tau_exact_in_thick_layer():
+    """Mid-layer user_tau radiances are EXACT (closed-form in-layer source
+    integration, not a linear blend): dense-oracle comparison at mid-layer
+    depths of a dtau=5 layer (VERDICT r3 item 5 acceptance)."""
+    dtau = np.array([5.0, 1.0])
+    ssa = np.array([0.8, 0.6])
+    g = 0.5
+    nstr = 8
+    ls = np.arange(nstr)          # nmom = nstr-1 -> f = 0, no delta-M:
+    mom = np.stack([g**ls, g**ls])  # the oracle solves the unscaled system
+    mu0, f0, alb = 0.6, np.pi, 0.3
+    utaus = (0.0, 1.7, 2.5, 4.9, 5.0, 5.5, 6.0)
+    ds = build(nlyr=2, nstr=nstr, nmom=nstr - 1,
+               flags="lamber,quiet,usrang,usrtau", user_tau=utaus)
+    bc = dict(fbeam=jnp.full((1, 1), f0), umu0=jnp.full((1, 1), mu0),
+              albedo=jnp.full((1, 1), alb))
+    out = ds.intensities(single_column_prop(dtau, ssa, mom), bc)
+    uum = np.asarray(out["uum"])          # (nmode, 1, 1, ntau, numu)
+
+    res = solve_dense(dtau, ssa, mom, n_half=nstr // 2, fbeam=f0, mu0=mu0,
+                      albedo=alb, utaus=utaus)
+    node_mu = list(np.round(res["mu"], 12))
+    for i_mu, mu_u in enumerate(out["user_mu"]):
+        got = uum[0, 0, 0, :, i_mu]
+        j = node_mu.index(round(abs(mu_u), 12))
+        want = (res["Iup_t"] if mu_u > 0 else res["Idn_t"])[:, j]
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12,
+                                   err_msg=f"mu={mu_u}")

@@ -154,12 +154,13 @@ def test_freedman_mean_behavior():
     k0 = float(ab.kappa_cm2g(jnp.asarray(1e5), jnp.asarray(1500.0)))
     assert km > k0
 
-    # hotter gas is (much) more opaque through the molecular/alkali ramp
-    kc = float(ab.kappa_cm2g(jnp.asarray(1e5), jnp.asarray(300.0)))
+    # the alkali rise above the ~1500 K opacity minimum (Freedman et al.
+    # 2014 surface shape at 1 bar)
+    kmid = float(ab.kappa_cm2g(jnp.asarray(1e5), jnp.asarray(1500.0)))
     kh = float(ab.kappa_cm2g(jnp.asarray(1e5), jnp.asarray(2500.0)))
-    assert kh > 50.0 * kc
+    assert kh > 2.0 * kmid
     # sane magnitudes for solar-ish gas (order-of-magnitude envelope)
-    assert 1e-6 < kc < 1e-2 and 1e-3 < kh < 1e1
+    assert 1e-4 < kmid < 1e0 and 1e-3 < kh < 1e1
 
     # custom kappa_fn override is used verbatim
     ab_fn = FreedmanMean(_opts("freedman_mean"),
@@ -168,6 +169,32 @@ def test_freedman_mean_behavior():
     np.testing.assert_allclose(
         float(ab_fn.kappa_cm2g(jnp.asarray(1e5), jnp.asarray(1000.0))),
         0.123)
+
+
+def test_freedman2014_reference_points():
+    """Transcription regression of the Freedman et al. (2014) fit: values
+    hand-evaluated from eqs. 3-5 + Table 2 at two (P, T) points (solar
+    metallicity, 1 bar).  Guards against coefficient/formula slips."""
+    from pyharp_tpu.opacity.freedman import freedman2014_kappa
+
+    # T = 1000 K: low-P term 10^-4.2572 = 5.532e-5, high-P (hot set)
+    # 10^-1.8574 = 1.3885e-2 -> 1.3940e-2 cm^2/g
+    k1000 = float(freedman2014_kappa(jnp.asarray(1e5, jnp.float64),
+                                     jnp.asarray(1000.0, jnp.float64)))
+    np.testing.assert_allclose(k1000, 1.3940e-2, rtol=1e-3)
+
+    # T = 300 K: low-P term 2.7e-10 (negligible), high-P (cold set)
+    # 10^-1.6880 = 2.0512e-2 cm^2/g
+    k300 = float(freedman2014_kappa(jnp.asarray(1e5, jnp.float64),
+                                    jnp.asarray(300.0, jnp.float64)))
+    np.testing.assert_allclose(k300, 2.0512e-2, rtol=1e-3)
+
+    # metallicity raises both terms: +0.5 dex at 1000 K multiplies the
+    # high-P term by 10^(0.8321*0.5*(0.5 + atan(0.5/0.2)/pi))
+    k_met = float(freedman2014_kappa(jnp.asarray(1e5, jnp.float64),
+                                     jnp.asarray(1000.0, jnp.float64),
+                                     met=0.5))
+    assert k_met > 1.8 * k1000
 
 
 def test_freedman_simple_power_law():

