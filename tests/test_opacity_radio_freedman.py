@@ -224,3 +224,25 @@ def test_band_builds_radio_and_freedman():
     )
     band = RadiationBand(bop, dtype=jnp.float64)
     assert set(band.attenuators) == {"nh3", "cia", "e", "gas"}
+
+
+def test_nh3_line_weights_match_berge_gulkis_derivation():
+    """The shipped NH3 S300 values must equal the Berge & Gulkis (1976)
+    metastable weighting computed independently here (B0 = 298.117 GHz,
+    C0 = 186.726 GHz, ortho g_s = 2 for K % 3 == 0), normalized to (3,3)."""
+    from pyharp_tpu.opacity.radio import load_vvw_lines
+
+    lines = load_vvw_lines("radio_nh3_lines.txt")
+    assert len(lines) == 6
+    B, C = 298.117, 186.726
+    kb_ghz = 20.836619
+    want = []
+    for J, ln in zip(range(1, 7), lines):
+        E_K = (B * J * (J + 1) + (C - B) * J * J) / kb_ghz
+        gs = 2.0 if J % 3 == 0 else 1.0
+        w = J * J / (J * (J + 1)) * (2 * J + 1) * gs * np.exp(-E_K / 300.0)
+        want.append((w, E_K))
+    w33 = want[2][0]
+    for ln, (w, E_K) in zip(lines, want):
+        np.testing.assert_allclose(ln.s300, w / w33 * 1e-13, rtol=2e-3)
+        np.testing.assert_allclose(ln.elow, E_K, rtol=5e-3)
