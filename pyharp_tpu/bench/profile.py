@@ -59,12 +59,21 @@ def _force(out) -> float:
 
 
 def measure(fn, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Steady-state seconds per call of an already-jitted ``fn``."""
+    """Steady-state seconds per call of an already-jitted ``fn``.
+
+    Queues all iterations and forces ONCE at the end (like bench.py): on the
+    tunneled TPU platform a per-iteration scalar read would add a full
+    host<->device round-trip to every sample, inflating small kernels by
+    tens of ms.  The single final read drains the whole queue, so its
+    one-off RTT is amortized over ``iters``.
+    """
     for _ in range(warmup):
         _force(fn(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        _force(fn(*args))
+        out = fn(*args)
+    _force(out)
     return (time.perf_counter() - t0) / iters
 
 
