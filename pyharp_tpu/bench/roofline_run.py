@@ -19,8 +19,11 @@ particular solves (~8 N^2), exponentials (N).  Traffic: reads
 ``solve_bvp_pallas`` — block-tridiagonal (Thomas) factor+solve with
 2N x 2N blocks built in-kernel from the eigen solution: block LU
 (~2/3 (2N)^3), two triangular solves + the off-diagonal update
-(~3 (2N)^2 each fwd+bwd).  Traffic: reads 2 N^2 + 3 N + 2 N (gp/gm,
-lam-expd, rhs) + 1 (albedo amortized), writes 2 N f32 (a, b).
+(~3 (2N)^2 each fwd+bwd).  Traffic (both passes): forward reads gp/gm/E/
+rhs (2 N^2 + N + 2 N) and writes the propagation carry P, g (2 N^2 + 2 N);
+backward re-reads gp/gm/E plus P, g and writes a, b (2 N) — the P/g
+round-trip through HBM between the sweeps is the dominant term and is
+counted here (~168 f32 per (layer, column) at N = 4).
 
 Both kernels sit far below the MXU flop roof by construction (tiny-N
 batched linear algebra is VPU work), so the relevant ceiling is HBM
@@ -44,7 +47,11 @@ def kernel_counts(L, B, N, nmom, sweeps):
     fused_bytes = L * B * f32 * ((4 + nmom) + (2 * N * N + 5 * N))
     bvp_flops = L * B * (
         (2 * (2 * N) ** 3) // 3 + 6 * (2 * N) ** 2)
-    bvp_bytes = L * B * f32 * ((2 * N * N + 3 * N + 2 * N + 1) + 2 * N)
+    # fwd: read 2N^2+N+2N, write 2N^2+2N; bwd: read 2N^2+N+2N^2+2N+... ,
+    # write 2N  (see module docstring)
+    bvp_bytes = L * B * f32 * (
+        (2 * N * N + N + 2 * N) + (2 * N * N + 2 * N)          # fwd r/w
+        + (2 * N * N + N + 2 * N * N + 2 * N + N) + 2 * N)     # bwd r/w
     return (fused_flops, fused_bytes), (bvp_flops, bvp_bytes)
 
 
@@ -83,7 +90,9 @@ def main(ncol=8192, nwave=8, nlyr=100, nstr=8):
     # raw ~1.5 GB output tuple from 10 queued calls would pin ~15 GB of
     # HBM and stall the allocator
     def _ck(*outs):
-        return sum(o.ravel()[:: 65536].sum() for o in outs)
+        # scalar corner reads only: a strided ravel would force a tiled->
+        # linear relayout copy of every output (~GBs), polluting the timing
+        return sum(o[(0,) * o.ndim] for o in outs)
 
     fused = jax.jit(lambda s, p, d, bt, sl: _ck(*fused_homogeneous_thermal(
         s, p, d, bt, sl, ang)))

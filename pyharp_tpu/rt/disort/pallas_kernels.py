@@ -326,17 +326,24 @@ def fused_homogeneous_thermal(
     nmom = pmom.shape[1]
     dtype = ssa.dtype
     if sweeps is None:
-        # cyclic Jacobi converges quadratically: measured off-diagonal
-        # residual reaches f32 machine precision in 3-4 sweeps for N <= 4
-        # on realistic (incl. near-conservative ssa -> 1) DISORT matrices;
-        # one extra sweep of margin
-        sweeps = 4 if N <= 2 else (5 if N <= 4 else 8)
+        # cyclic Jacobi converges quadratically: measured BIT-convergence
+        # (identical f32 output vs more sweeps) at 3 sweeps for N <= 4 on
+        # realistic DISORT matrices incl. near-conservative ssa up to 0.99
+        # with anisotropic moments (r4 sweep on the chip); one extra sweep
+        # of margin.  N = 8 (nstr 16) keeps the conservative 8.
+        sweeps = 3 if N <= 2 else (4 if N <= 4 else 8)
     if interpret is None:   # emulate off-TPU (CPU tests of the kernel path)
         interpret = jax.default_backend() != "tpu"
 
     TL, TB = block
     TL = min(TL, L)
     TB = min(TB, B)
+    # VMEM footprint scales ~N^2 (gp/gm blocks are (N, N, TL, TB)); the
+    # (8, 1024) default fits the 16 MB scoped limit up to N = 4 — shrink
+    # the batch tile for wider stream counts (nstr = 16 at production
+    # batch previously hit "Ran out of memory in memory space vmem")
+    if block == (8, 1024) and N > 4:
+        TB = min(TB, 256)
     grid = (pl.cdiv(L, TL), pl.cdiv(B, TB))
 
     # pmom transposed to (nmom, L, B) so the block carries all moments;
@@ -534,7 +541,9 @@ def _bvp_bwd_kernel(gp_ref, gm_ref, e_ref, P_ref, g_ref,
 
 def solve_bvp_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
                      albedo, ang: StaticAngles,
-                     *, block_b=2048, interpret=None):
+                     *, block_b=1024, interpret=None):
+    # block_b: 1024 measured fastest on v5e (18.5 ms vs 19.2 at 2048 for
+    # the bench shape); 4096 exceeds the 16 MB VMEM scoped limit
     """Pallas implementation of ``solver.solve_bvp`` (same contract)."""
     dtype = sol.lam.dtype
     N, L, B = sol.lam.shape
@@ -553,6 +562,9 @@ def solve_bvp_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
     alb = albedo[None]                                  # (1, B)
 
     TB = min(block_b, B)
+    if block_b == 1024 and N > 4:
+        # VMEM blocks scale ~N^2 (see fused_homogeneous_thermal)
+        TB = min(TB, 256)
     # the TPU lowering wants the sublane block dim divisible by 8 (or the
     # full axis): process CL layers per grid cell with an in-kernel loop
     CL = L if L < 8 else 8

@@ -21,10 +21,20 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
 def main():
+    # one virtual device per PHYSICAL core: any more and the mesh devices
+    # oversubscribe the same cores, measuring contention instead of the
+    # sharded program (8-virtual-device CORRECTNESS is covered separately
+    # by __graft_entry__.dryrun_multichip and tests/test_parallel.py)
+    ndev = min(os.cpu_count() or 2, 8)
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    # NOTE: XLA:CPU's intra-op thread pool gives the single-device baseline
+    # all cores and ignores the legacy eigen-threading flags, so a clean
+    # per-device-core speedup cannot be isolated on this backend; the
+    # partition_overhead_vs_single column (sharded vs single on the SAME
+    # multithreaded backend, same total work) is the meaningful number.
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
     env["PYTHONPATH"] = ROOT
     r = subprocess.run(
         [sys.executable, "-m", "pyharp_tpu.bench.scaling"],
@@ -35,9 +45,15 @@ def main():
     records = [json.loads(line) for line in r.stdout.splitlines()
                if line.strip().startswith("{")]
     out = {
-        "note": ("weak scaling on 8 VIRTUAL CPU devices (multi-chip TPU "
-                 "hardware unavailable here); validates the sharded program "
-                 "and measures sharding overhead, not ICI bandwidth"),
+        "note": ("fixed-global-work partition measurement on one virtual "
+                 "CPU device per physical core (multi-chip TPU hardware "
+                 "unavailable here; 8-virtual-device correctness is covered "
+                 "by dryrun_multichip + tests/test_parallel.py).  "
+                 "speedup = t_single / t_sharded on the same total columns; "
+                 "columns are embarrassingly parallel and the only "
+                 "steady-state collective is the per-band flux psum (bytes "
+                 "recorded), so real-slice scaling is bounded by these "
+                 "terms, not by a halo pattern"),
         "mesh": "('col', 'wave') = (n, 1)",
         "records": records,
     }
