@@ -116,6 +116,18 @@ def main(ncol=8192, nwave=8, nlyr=100, nstr=8):
     r_bvp = roofline(bvp, sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop,
                      bot_rhs, albedo, flops=b_fl, bytes_moved=b_by)
 
+    # flux-fused variant (the onlyfl production path): same fwd traffic,
+    # backward writes (2 + eps) instead of (2N) f32 and reads ptop_p/m
+    from pyharp_tpu.rt.disort.pallas_kernels import solve_bvp_flux_pallas
+
+    f32 = 4
+    bf_by = b_by + L * B * f32 * (2 * N + 2 - 2 * N - 2 * N)  # +tp/tm, -a/b+fl
+    bvpf = jax.jit(lambda sol, tp, tm, bp, bm, ft, br, al: _ck(
+        *solve_bvp_flux_pallas(sol, tp, tm, bp, bm, ft, br, al, ang)))
+    r_bvpf = roofline(bvpf, sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop,
+                      bot_rhs, albedo, flops=b_fl + L * B * 2 * N * N,
+                      bytes_moved=bf_by)
+
     p = _peaks()
     dev = jax.devices()[0].device_kind
     print(f"# ROOFLINE — Pallas DISORT kernels on {dev}")
@@ -128,7 +140,8 @@ def main(ncol=8192, nwave=8, nlyr=100, nstr=8):
     print("| kernel | time | TFLOP/s | %flop peak | GB/s | %HBM peak | bound |")
     print("|---|---|---|---|---|---|---|")
     for name, r in (("fused_homogeneous_thermal", r_fused),
-                    ("solve_bvp_pallas", r_bvp)):
+                    ("solve_bvp_pallas", r_bvp),
+                    ("solve_bvp_flux_pallas", r_bvpf)):
         print(f"| {name} | {r.seconds*1e3:.3f} ms | "
               f"{r.achieved_flops/1e12:.2f} | {100*r.flops_frac:.1f}% | "
               f"{r.achieved_bw/1e9:.1f} | {100*r.bw_frac:.1f}% | "

@@ -316,11 +316,16 @@ class Disort:
 
         return jax.default_backend() == "tpu" and dtype == jnp.float32
 
-    def _solve_mode(self, pr, ang, thermal: bool):
+    def _solve_mode(self, pr, ang, thermal: bool, flux_only: bool = False):
         """Eigen + particular + BVP for one azimuthal mode.
 
         For m > 0 the Lambertian surface reflects nothing and the top/thermal
         sources vanish (cdisort applies the same restriction).
+
+        ``flux_only`` (the ``onlyfl`` fast path, Pallas backend only):
+        fuse the level-flux contraction into the BVP backward sweep so the
+        (N, L, B) a/b coefficients never round-trip through HBM and the
+        separate flux-assembly pass (two more full gp/gm reads) vanishes.
         """
         dtype = pr["dtype"]
         N = self.nstr // 2
@@ -403,18 +408,25 @@ class Disort:
             ftop = jnp.zeros((N, Bflat), dtype)
             bot_rhs = -pb_p
 
+        fl = ab_last = None
         if self._use_pallas(dtype):
-            from .pallas_kernels import solve_bvp_pallas
+            from .pallas_kernels import solve_bvp_flux_pallas, solve_bvp_pallas
 
-            a, b = solve_bvp_pallas(
-                sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
-                albedo, ang)
+            if flux_only:
+                fl, ab_last = solve_bvp_flux_pallas(
+                    sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
+                    albedo, ang)
+                a = b = None
+            else:
+                a, b = solve_bvp_pallas(
+                    sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
+                    albedo, ang)
         else:
             a, b = _solver.solve_bvp(
                 sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
                 albedo, ang)
 
-        return dict(sol=sol, a=a, b=b, zp=zp, zm=zm,
+        return dict(sol=sol, a=a, b=b, fl=fl, ab_last=ab_last, zp=zp, zm=zm,
                     y0p=y0p, y0m=y0m, y1=y1,
                     ptop_p=ptop_p, ptop_m=ptop_m,
                     pbot_p=pbot_p, pbot_m=pbot_m,
@@ -450,7 +462,7 @@ class Disort:
                 "ibcnd (albedo/transmissivity special mode) is not a flux "
                 "solve; call albedo_transmissivity(prop, albedo) instead")
         pr = self._prepare(prop, bc, temf)
-        md = self._solve_mode(pr, self._ang0, thermal=True)
+        md = self._solve_mode(pr, self._ang0, thermal=True, flux_only=True)
         flux, last = self._fluxes_from_mode0(pr, md)
         self._stash("_last", last)
         return flux
@@ -461,26 +473,40 @@ class Disort:
         umu0, fbeam = pr["umu0"], pr["fbeam"]
         ang = self._ang0
         sol = md["sol"]
-        a, b = md["a"], md["b"]
         gp, gm, E = sol.gp, sol.gm, sol.expd
-
-        up_t = _umv(gp, a) + _umv(gm, E * b) + md["ptop_p"]   # (N, L, B)
-        dn_t = _umv(gm, a) + _umv(gp, E * b) + md["ptop_m"]
-
+        wmu_np = ang.w * ang.mu
         gpL = gp[:, :, -1]
         gmL = gm[:, :, -1]
         EL = E[:, -1]
-        aL = a[:, -1]
-        bL = b[:, -1]
-        up_bot = _umv(gpL, EL * aL) + _umv(gmL, bL) + md["pb_p"]
-        dn_bot = _umv(gmL, EL * aL) + _umv(gpL, bL) + md["pb_m"]
 
-        up_all = jnp.concatenate([up_t, up_bot[:, None]], axis=1)  # (N,L+1,B)
-        dn_all = jnp.concatenate([dn_t, dn_bot[:, None]], axis=1)
+        if md.get("fl") is not None:
+            # fused Pallas path: layer-top wmu-sums came out of the BVP
+            # backward kernel; only the (N, B)-sized bottom level remains
+            N = self.nstr // 2
+            ab = md["ab_last"]                           # (2N, B)
+            aL, bL = ab[:N], ab[N:]
+            up_bot = _umv(gpL, EL * aL) + _umv(gmL, bL) + md["pb_p"]
+            dn_bot = _umv(gmL, EL * aL) + _umv(gpL, bL) + md["pb_m"]
+            flup = 2.0 * jnp.pi * jnp.concatenate(
+                [md["fl"][0], _uwdot_static(wmu_np, up_bot)[None]], axis=0)
+            rfldn = 2.0 * jnp.pi * jnp.concatenate(
+                [md["fl"][1], _uwdot_static(wmu_np, dn_bot)[None]], axis=0)
+            up_all = dn_all = None   # node radiances not materialized here
+        else:
+            a, b = md["a"], md["b"]
+            up_t = _umv(gp, a) + _umv(gm, E * b) + md["ptop_p"]  # (N, L, B)
+            dn_t = _umv(gm, a) + _umv(gp, E * b) + md["ptop_m"]
 
-        wmu_np = ang.w * ang.mu
-        flup = 2.0 * jnp.pi * _uwdot_static(wmu_np, up_all)
-        rfldn = 2.0 * jnp.pi * _uwdot_static(wmu_np, dn_all)
+            aL = a[:, -1]
+            bL = b[:, -1]
+            up_bot = _umv(gpL, EL * aL) + _umv(gmL, bL) + md["pb_p"]
+            dn_bot = _umv(gmL, EL * aL) + _umv(gpL, bL) + md["pb_m"]
+
+            up_all = jnp.concatenate([up_t, up_bot[:, None]], axis=1)
+            dn_all = jnp.concatenate([dn_t, dn_bot[:, None]], axis=1)
+
+            flup = 2.0 * jnp.pi * _uwdot_static(wmu_np, up_all)
+            rfldn = 2.0 * jnp.pi * _uwdot_static(wmu_np, dn_all)
 
         # direct beam: reported with UNSCALED optical depth (DISORT's RFLDIR);
         # the delta-M forward-peak difference is folded into diffuse down so
@@ -495,7 +521,8 @@ class Disort:
         rfldn_rep = dn_total - rfldir_u
 
         last = dict(
-            a=a, b=b, sol=sol, taucum_s=taucum_s, taucum_u=taucum_u,
+            a=md["a"], b=md["b"], sol=sol, taucum_s=taucum_s,
+            taucum_u=taucum_u,
             flup=flup, rfldn=rfldn_rep, rfldir=rfldir_u,
             up_all=up_all, dn_all=dn_all,
         )

@@ -539,16 +539,81 @@ def _bvp_bwd_kernel(gp_ref, gm_ref, e_ref, P_ref, g_ref,
     jax.lax.fori_loop(0, CL, body, 0)
 
 
-def solve_bvp_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
-                     albedo, ang: StaticAngles,
-                     *, block_b=1024, interpret=None):
-    # block_b: 1024 measured fastest on v5e (18.5 ms vs 19.2 at 2048 for
-    # the bench shape); 4096 exceeds the 16 MB VMEM scoped limit
-    """Pallas implementation of ``solver.solve_bvp`` (same contract)."""
+def _bvp_bwd_flux_kernel(gp_ref, gm_ref, e_ref, P_ref, g_ref, tp_ref, tm_ref,
+                         fl_out, ab_out, dxs,
+                         *, N: int, L: int, CL: int, nchunk: int, wmu: tuple):
+    """Back-substitution fused with the level-flux contraction.
+
+    Emits the wmu-weighted up/down sums at each LAYER TOP directly —
+    ``fl[0, l] = sum_i wmu_i (gp a + gm E b + ptop_p)_i`` and the gm/gp-
+    swapped downward analog — instead of materializing a, b for a separate
+    XLA flux-assembly pass (which would re-read the ~GB gp/gm tensors from
+    HBM).  The up-sum is exactly the carry update ``dx``, so it costs
+    nothing extra; the down-sum adds 2 N^2 madds per layer.  The bottom-
+    layer (a, b) pair is snapshotted to ``ab_out`` so the caller can form
+    the bottom-level fluxes (a (2N, B)-sized epilogue) in XLA.
+    """
+    j = pl.program_id(1)
+    c = nchunk - 1 - j                     # real chunk index
+    zero = jnp.zeros_like(g_ref[0, 0])
+
+    @pl.when(j == 0)
+    def _():
+        for i in range(N):
+            dxs[i] = zero
+        for i in range(2 * N):
+            ab_out[i] = zero
+
+    def body(i_s, _):
+        s = CL - 1 - i_s
+        dx = [dxs[i] for i in range(N)]
+        xn = [g_ref[i, s] + _addn([P_ref[i, k, s] * dx[k]
+                                   for k in range(N)], zero)
+              for i in range(2 * N)]
+        # snapshot the bottom layer's coefficients (processed in the FIRST
+        # grid step, so later steps must not overwrite: the where keeps
+        # ab_out fixed once written — the constant index map makes this
+        # block a persistent accumulator)
+        is_bot = c * CL + s == L - 1
+        for i in range(2 * N):
+            ab_out[i] = jnp.where(is_bot, xn[i], ab_out[i])
+        upv = [_addn([gp_ref[i, k, s] * xn[k] for k in range(N)]
+                     + [gm_ref[i, k, s] * e_ref[k, s] * xn[N + k]
+                        for k in range(N)], zero) for i in range(N)]
+        dnv = [_addn([gm_ref[i, k, s] * xn[k] for k in range(N)]
+                     + [gp_ref[i, k, s] * e_ref[k, s] * xn[N + k]
+                        for k in range(N)], zero) for i in range(N)]
+        fl_out[0, s] = _addn([float(wmu[i]) * (upv[i] + tp_ref[i, s])
+                              for i in range(N)], zero)
+        fl_out[1, s] = _addn([float(wmu[i]) * (dnv[i] + tm_ref[i, s])
+                              for i in range(N)], zero)
+        # carry: see _bvp_bwd_kernel on the select-vs-mask requirement
+        valid = c * CL + s <= L - 1
+        for i in range(N):
+            dxs[i] = jnp.where(valid, upv[i], dx[i])
+        return 0
+
+    jax.lax.fori_loop(0, CL, body, 0)
+
+
+def _bvp_tiles(N, L, B, block_b):
+    TB = min(block_b, B)
+    if block_b == 1024 and N > 4:
+        # VMEM blocks scale ~N^2 (see fused_homogeneous_thermal)
+        TB = min(TB, 256)
+    # the TPU lowering wants the sublane block dim divisible by 8 (or the
+    # full axis): process CL layers per grid cell with an in-kernel loop
+    CL = L if L < 8 else 8
+    nchunk = pl.cdiv(L, CL)
+    grid = (pl.cdiv(B, TB), nchunk)
+    return TB, CL, nchunk, grid
+
+
+def _bvp_forward(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
+                 albedo, ang, TB, CL, nchunk, grid, interpret):
+    """Shared forward-elimination pass; returns (P, g) carries in HBM."""
     dtype = sol.lam.dtype
     N, L, B = sol.lam.shape
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     wmu = tuple(float(x) for x in (ang.w * ang.mu))
 
     gp, gm, E = sol.gp, sol.gm, sol.expd
@@ -561,16 +626,6 @@ def solve_bvp_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
     dblk = jnp.concatenate([d_up, d_lo], axis=0)        # (2N, L, B)
     alb = albedo[None]                                  # (1, B)
 
-    TB = min(block_b, B)
-    if block_b == 1024 and N > 4:
-        # VMEM blocks scale ~N^2 (see fused_homogeneous_thermal)
-        TB = min(TB, 256)
-    # the TPU lowering wants the sublane block dim divisible by 8 (or the
-    # full axis): process CL layers per grid cell with an in-kernel loop
-    CL = L if L < 8 else 8
-    nchunk = pl.cdiv(L, CL)
-    grid = (pl.cdiv(B, TB), nchunk)
-
     def im_nn(i, c):
         return (0, 0, c, i)
 
@@ -580,7 +635,7 @@ def solve_bvp_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
     def im_b(i, c):
         return (0, i)
 
-    Ps_hbm, gs_hbm = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bvp_fwd_kernel, N=N, L=L, CL=CL, wmu=wmu),
         grid=grid,
         in_specs=[
@@ -605,6 +660,23 @@ def solve_bvp_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
         ],
         interpret=interpret,
     )(gp, gm, E, dblk, alb)
+
+
+def solve_bvp_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
+                     albedo, ang: StaticAngles,
+                     *, block_b=1024, interpret=None):
+    # block_b: 1024 measured fastest on v5e (18.5 ms vs 19.2 at 2048 for
+    # the bench shape); 4096 exceeds the 16 MB VMEM scoped limit
+    """Pallas implementation of ``solver.solve_bvp`` (same contract)."""
+    dtype = sol.lam.dtype
+    N, L, B = sol.lam.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    TB, CL, nchunk, grid = _bvp_tiles(N, L, B, block_b)
+    Ps_hbm, gs_hbm = _bvp_forward(sol, ptop_p, ptop_m, pbot_p, pbot_m,
+                                  ftop, bot_rhs, albedo, ang,
+                                  TB, CL, nchunk, grid, interpret)
+    gp, gm, E = sol.gp, sol.gm, sol.expd
 
     def rev_nn(i, j):
         return (0, 0, nchunk - 1 - j, i)
@@ -634,3 +706,63 @@ def solve_bvp_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
         interpret=interpret,
     )(gp, gm, E, Ps_hbm, gs_hbm)
     return a, b
+
+
+def solve_bvp_flux_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
+                          albedo, ang: StaticAngles,
+                          *, block_b=1024, interpret=None):
+    """BVP solve with the level-flux contraction fused into the backward
+    sweep (the ``onlyfl`` fast path).
+
+    Returns ``(fl, ab_last)``: ``fl`` is ``(2, L, B)`` — the wmu-weighted
+    up/down intensity sums at every LAYER TOP (particular parts included;
+    multiply by 2 pi for fluxes) — and ``ab_last`` is ``(2N, B)``, the
+    bottom layer's (a, b) coefficients for the bottom-level epilogue.
+    Skipping the (N, L, B) a/b outputs and the separate XLA flux pass
+    saves two full reads of gp/gm plus the a/b round-trip per solve.
+    """
+    dtype = sol.lam.dtype
+    N, L, B = sol.lam.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    TB, CL, nchunk, grid = _bvp_tiles(N, L, B, block_b)
+    Ps_hbm, gs_hbm = _bvp_forward(sol, ptop_p, ptop_m, pbot_p, pbot_m,
+                                  ftop, bot_rhs, albedo, ang,
+                                  TB, CL, nchunk, grid, interpret)
+    gp, gm, E = sol.gp, sol.gm, sol.expd
+    wmu = tuple(float(x) for x in (ang.w * ang.mu))
+
+    def rev_nn(i, j):
+        return (0, 0, nchunk - 1 - j, i)
+
+    def rev_n(i, j):
+        return (0, nchunk - 1 - j, i)
+
+    def im_ab(i, j):
+        return (0, i)
+
+    fl, ab_last = pl.pallas_call(
+        functools.partial(_bvp_bwd_flux_kernel, N=N, L=L, CL=CL,
+                          nchunk=nchunk, wmu=wmu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N, N, CL, TB), rev_nn, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N, CL, TB), rev_nn, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, CL, TB), rev_n, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * N, N, CL, TB), rev_nn, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * N, CL, TB), rev_n, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, CL, TB), rev_n, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, CL, TB), rev_n, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, CL, TB), rev_n, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * N, TB), im_ab, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, L, B), dtype),
+            jax.ShapeDtypeStruct((2 * N, B), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((N, TB), dtype)],
+        interpret=interpret,
+    )(gp, gm, E, Ps_hbm, gs_hbm, ptop_p, ptop_m)
+    return fl, ab_last

@@ -69,3 +69,35 @@ def test_bvp_matches_xla():
     scale = max(float(jnp.max(jnp.abs(a0))), 1e-30)
     assert float(jnp.max(jnp.abs(a0 - a1))) / scale < 3e-5
     assert float(jnp.max(jnp.abs(b0 - b1))) / scale < 3e-5
+
+
+def test_bvp_flux_fused_matches_xla_forward():
+    """The flux-fused backward sweep must reproduce the full XLA forward's
+    level fluxes exactly (interpret mode; L=11 exercises padded chunks)."""
+    from pyharp_tpu.rt.disort.disort import Disort, DisortOptions
+
+    nstr, L, B = 4, 11, 8
+    rng = np.random.default_rng(5)
+    prop = np.zeros((2, 4, L, 2 + nstr))
+    prop[..., 0] = rng.uniform(0.01, 1.5, (2, 4, L))
+    prop[..., 1] = rng.uniform(0.1, 0.9, (2, 4, L))
+    prop[..., 2:] = 0.5 ** np.arange(1, nstr + 1)
+    prop = jnp.asarray(prop, jnp.float32)
+    bc = dict(fbeam=jnp.full((2, 4), np.pi, jnp.float32),
+              umu0=jnp.full((2, 4), 0.6, jnp.float32),
+              albedo=jnp.full((2, 4), 0.3, jnp.float32),
+              btemp=jnp.full((2, 4), 290.0, jnp.float32))
+    temf = jnp.asarray(np.broadcast_to(np.linspace(220.0, 280.0, L + 1),
+                                       (4, L + 1)).copy(), jnp.float32)
+
+    def run(kernel):
+        ds = Disort(DisortOptions(
+            flags="lamber,quiet,onlyfl,planck", nwave=2, ncol=4, nlyr=L,
+            nstr=nstr, nmom=nstr, wave_lower=(1.0,) * 2,
+            wave_upper=(500.0,) * 2, kernel=kernel))
+        return np.asarray(ds.forward(prop, bc, temf))
+
+    f_xla = run("xla")
+    f_pal = run("pallas")   # interpret mode on CPU; uses the fused flux path
+    scale = np.abs(f_xla).max()
+    np.testing.assert_allclose(f_pal, f_xla, atol=3e-5 * scale, rtol=3e-4)
