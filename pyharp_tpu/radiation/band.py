@@ -132,7 +132,9 @@ class RadiationBand:
         nwave = len(options.wave_lower) if options.wave_lower else None
         ray_out = (parse_radiation_directions(options.outdirs)
                    if options.outdirs else np.zeros((0, 2)))
+        self.rayout = np.asarray(ray_out)       # (nray, 2) = (mu, phi)
         uphi, umu = get_direction_grids(ray_out)
+        self._uphi, self._umu = list(uphi), list(umu)
 
         if options.solver_name == "disort":
             dop = options.disort.replace(
@@ -224,6 +226,50 @@ class RadiationBand:
             temf = layer2level(atm["temp"], self.options.l2l)
             return self.rtsolver.forward(prop, bc, temf)
         return self.rtsolver.forward(prop, bc)
+
+    def band_radiance(
+        self,
+        conc: Array,
+        dz: Array,
+        bc: dict[str, Array],
+        atm: dict[str, Array] | None = None,
+    ) -> Array:
+        """TOA radiance at this band's configured out-directions.
+
+        TPU-native port of the legacy driver's ``CalBandRadiance`` /
+        ``addDisortRadiance`` path (``rt_solver_disort.cpp_:210-286``):
+        solve intensities on the deduplicated (mu, phi) grids, then gather
+        the per-ray values (the legacy code 2-D interpolated ``uu`` onto
+        the user rays; the grids here contain each ray exactly, so the
+        gather is exact).  Requires a Disort solver and ``outdirs``.
+
+        Returns ``(nwave, ncol, nray)`` TOA radiances.
+        """
+        if not isinstance(self.rtsolver, Disort):
+            raise ValueError("band_radiance requires the Disort solver")
+        if self.rayout.shape[0] == 0:
+            raise ValueError(
+                f"band {self.options.name}: no outdirs configured")
+        atm = dict(atm or {})
+        if (self.options.wavenumber and "wavenumber" not in atm
+                and "wavelength" not in atm):
+            atm["wavenumber"] = jnp.asarray(
+                np.asarray(self.options.wavenumber), self.dtype)
+        prop = self.compute_optics(conc, dz, **atm)
+        temf = (layer2level(atm["temp"], self.options.l2l)
+                if "temp" in atm else None)
+        out = self.rtsolver.intensities(prop, bc, temf)
+        uu = out["uu"]                       # (nwave, ncol, ntau, nphi, numu)
+        # intensities() orders levels/taus TOP-DOWN: index 0 is TOA
+        toa = uu[:, :, 0]                    # (nwave, ncol, nphi, numu)
+        mus = list(out["user_mu"])
+        phis = list(out["user_phi"])
+        cols = []
+        for mu, phi in self.rayout:
+            im = min(range(len(mus)), key=lambda i: abs(mus[i] - mu))
+            ip = min(range(len(phis)), key=lambda i: abs(phis[i] - phi))
+            cols.append(toa[:, :, ip, im])
+        return jnp.stack(cols, axis=-1)      # (nwave, ncol, nray)
 
     def reduce_ck(self, flux: Array) -> Array:
         """Correlated-k quadrature: band flux = sum_g w_g flux_g.

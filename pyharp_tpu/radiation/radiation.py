@@ -105,3 +105,60 @@ class Radiation:
         if return_aux:
             return total, aux
         return total
+
+    # -- radiances (legacy CalBandRadiance / write_bin_radiance path) ------
+
+    def band_radiances(
+        self,
+        conc: Array,
+        dz: Array,
+        bc: dict[str, dict[str, Array] | Array],
+        atm: dict[str, Array] | None = None,
+    ) -> dict[str, Array]:
+        """TOA radiances at each band's configured out-directions.
+
+        Port of the legacy radiance path (``rt_solver_disort.cpp_:210-286``):
+        per band, solve intensities and gather the user rays.  Only bands
+        with ``outdirs`` participate.  Returns band name -> (nwave, ncol,
+        nray).
+        """
+        out = {}
+        for name, band in self.bands.items():
+            if band.rayout.shape[0] == 0:
+                continue
+            band_bc = bc.get(name, bc) if isinstance(bc, dict) else bc
+            out[name] = band.band_radiance(conc, dz, band_bc, atm)
+        return out
+
+    def write_radiances(
+        self,
+        prefix: str,
+        conc: Array,
+        dz: Array,
+        bc: dict[str, dict[str, Array] | Array],
+        atm: dict[str, Array] | None = None,
+        column: int = 0,
+    ) -> list[str]:
+        """Write per-band TOA radiance tables (the ``write_bin_radiance``
+        flag's behavior, ``write_bin_ascii.cpp_:10-52``): binary when the
+        flag is set, ASCII otherwise.  Eager/host-side.  Returns the paths
+        written."""
+        from ..utils.output import write_radiance_ascii, write_radiance_bin
+
+        import numpy as np
+
+        paths = []
+        for name, rad in self.band_radiances(conc, dz, bc, atm).items():
+            band = self.bands[name]
+            data = np.asarray(rad)[:, column, :]          # (nwave, nray)
+            if self.options.write_bin_radiance:
+                path = f"{prefix}{name}.out"
+                write_radiance_bin(path, data, band.rayout)
+            else:
+                path = f"{prefix}{name}.txt"
+                wave = (np.asarray(band.options.wavenumber)
+                        if band.options.wavenumber else None)
+                write_radiance_ascii(path, data, band.rayout, wave=wave,
+                                     header=f"band {name} TOA radiance")
+            paths.append(path)
+        return paths

@@ -412,7 +412,10 @@ class Disort:
         if self._use_pallas(dtype):
             from .pallas_kernels import solve_bvp_flux_pallas, solve_bvp_pallas
 
-            if flux_only:
+            # the fused-flux backward wins for N <= 4 (bench config: -23%
+            # step time) but loses ~1.7x at N = 8 (vreg spill from the
+            # extra live up/dn tiles; measured r4 A/B on v5e) — gate it
+            if flux_only and N <= 4:
                 fl, ab_last = solve_bvp_flux_pallas(
                     sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
                     albedo, ang)

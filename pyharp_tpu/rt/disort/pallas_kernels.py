@@ -596,14 +596,14 @@ def _bvp_bwd_flux_kernel(gp_ref, gm_ref, e_ref, P_ref, g_ref, tp_ref, tm_ref,
     jax.lax.fori_loop(0, CL, body, 0)
 
 
-def _bvp_tiles(N, L, B, block_b):
+def _bvp_tiles(N, L, B, block_b, chunk_l=None):
     TB = min(block_b, B)
     if block_b == 1024 and N > 4:
         # VMEM blocks scale ~N^2 (see fused_homogeneous_thermal)
         TB = min(TB, 256)
     # the TPU lowering wants the sublane block dim divisible by 8 (or the
     # full axis): process CL layers per grid cell with an in-kernel loop
-    CL = L if L < 8 else 8
+    CL = L if L < 8 else (chunk_l or 8)
     nchunk = pl.cdiv(L, CL)
     grid = (pl.cdiv(B, TB), nchunk)
     return TB, CL, nchunk, grid
@@ -664,7 +664,7 @@ def _bvp_forward(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
 
 def solve_bvp_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
                      albedo, ang: StaticAngles,
-                     *, block_b=1024, interpret=None):
+                     *, block_b=1024, chunk_l=None, interpret=None):
     # block_b: 1024 measured fastest on v5e (18.5 ms vs 19.2 at 2048 for
     # the bench shape); 4096 exceeds the 16 MB VMEM scoped limit
     """Pallas implementation of ``solver.solve_bvp`` (same contract)."""
@@ -672,7 +672,7 @@ def solve_bvp_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
     N, L, B = sol.lam.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    TB, CL, nchunk, grid = _bvp_tiles(N, L, B, block_b)
+    TB, CL, nchunk, grid = _bvp_tiles(N, L, B, block_b, chunk_l)
     Ps_hbm, gs_hbm = _bvp_forward(sol, ptop_p, ptop_m, pbot_p, pbot_m,
                                   ftop, bot_rhs, albedo, ang,
                                   TB, CL, nchunk, grid, interpret)
@@ -710,7 +710,7 @@ def solve_bvp_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
 
 def solve_bvp_flux_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
                           albedo, ang: StaticAngles,
-                          *, block_b=1024, interpret=None):
+                          *, block_b=1024, chunk_l=None, interpret=None):
     """BVP solve with the level-flux contraction fused into the backward
     sweep (the ``onlyfl`` fast path).
 
@@ -725,7 +725,7 @@ def solve_bvp_flux_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
     N, L, B = sol.lam.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    TB, CL, nchunk, grid = _bvp_tiles(N, L, B, block_b)
+    TB, CL, nchunk, grid = _bvp_tiles(N, L, B, block_b, chunk_l)
     Ps_hbm, gs_hbm = _bvp_forward(sol, ptop_p, ptop_m, pbot_p, pbot_m,
                                   ftop, bot_rhs, albedo, ang,
                                   TB, CL, nchunk, grid, interpret)

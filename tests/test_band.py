@@ -296,3 +296,47 @@ def test_direction_parsing():
     uphi, umu = get_direction_grids(ds)
     assert len(umu) == 2   # cos(0)=1 and cos(60)=0.5
     assert len(uphi) == 2  # 0 and pi/6 (dup within 1e-3 dropped)
+
+
+def test_band_radiance_and_writers(tmp_path):
+    """Legacy CalBandRadiance / write_bin_radiance path: TOA radiances at
+    configured outdirs, written as ascii or binary tables."""
+    from pyharp_tpu.utils.output import read_radiance_bin
+
+    nwave, ncol, nlyr = 4, 1, 5
+    config_opts = aerosol_band_options(nwave=nwave, ncol=ncol, nlyr=nlyr)
+    bop = config_opts.replace(
+        outdirs="(0., 0.) (60., 30.)",
+        wavenumber=tuple(np.linspace(2000.0, 50000.0, nwave)),
+        disort=config_opts.disort.replace(
+            flags="lamber,quiet,usrang,intensity_correction"),
+    )
+    ro = RadiationOptions(bands=("sw",), band_options=(bop,))
+    rad = Radiation(ro, dtype=jnp.float64)
+
+    conc = jnp.full((ncol, nlyr, 2), 1e-4, jnp.float64)
+    dz = jnp.full((nlyr,), 2000.0, jnp.float64)
+    bc = dict(fbeam=jnp.full((nwave, ncol), np.pi),
+              umu0=jnp.full((nwave, ncol), 0.8),
+              albedo=jnp.full((nwave, ncol), 0.3))
+
+    rads = rad.band_radiances(conc, dz, bc)
+    assert set(rads) == {"sw"}
+    r = np.asarray(rads["sw"])
+    assert r.shape == (nwave, ncol, 2)
+    assert np.all(np.isfinite(r)) and np.all(r > 0)  # scattered beam light
+
+    # ascii writer (flag off)
+    paths = rad.write_radiances(str(tmp_path / "rad_"), conc, dz, bc)
+    assert paths == [str(tmp_path / "rad_sw.txt")]
+    txt = open(paths[0]).read()
+    assert "rays (mu, phi)" in txt and len(txt.splitlines()) == 2 + nwave
+
+    # binary writer (flag on) round-trips
+    rad_bin = Radiation(
+        RadiationOptions(bands=("sw",), band_options=(bop,),
+                         write_bin_radiance=True), dtype=jnp.float64)
+    paths = rad_bin.write_radiances(str(tmp_path / "radb_"), conc, dz, bc)
+    data, rays = read_radiance_bin(paths[0])
+    np.testing.assert_allclose(data, r[:, 0, :], rtol=1e-6)
+    assert rays.shape == (2, 2)
