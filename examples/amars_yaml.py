@@ -100,6 +100,9 @@ def main():
                          "(the shipped lbl config uses 0.1; pass e.g. 2.0 "
                          "for a quick run)")
     ap.add_argument("--nlyr", type=int, default=40)
+    ap.add_argument("--fuse", action="store_true",
+                    help="fold compatible bands into one batched solve "
+                         "(identical results, one launch instead of five)")
     args = ap.parse_args()
 
     if jax.default_backend() != "cpu":
@@ -129,7 +132,8 @@ def main():
 
     @jax.jit
     def step(conc, dz):
-        return rad.forward(conc, dz, bc, atm, return_aux=True)
+        return rad.forward(conc, dz, bc, atm, return_aux=True,
+                           fuse_bands=args.fuse)
 
     import time
     total, aux = jax.block_until_ready(step(conc, dz))

@@ -74,6 +74,7 @@ class Radiation:
         area: Array | None = None,
         vol: Array | None = None,
         return_aux: bool = False,
+        fuse_bands: bool = False,
     ):
         """Total net band-summed flux ``(ncol, nlyr+1, 2)`` (bottom-up).
 
@@ -82,13 +83,26 @@ class Radiation:
         (:meth:`RadiationBand.spectral_reduce`): ck quadrature, plain sum of
         bin-integrated thermal bins, or rectangle-rule width weighting for
         beam bands in spectral-density units.
+
+        ``fuse_bands=True`` folds compatible bands (same Disort
+        configuration modulo the wave axis) into ONE batched solve over the
+        concatenated wave axis — the SURVEY section 2.4 plan for band
+        parallelism: the reference's sequential per-band loop
+        (``radiation.cpp:70-78``) becomes a single chip-filling launch,
+        with per-bin Planck edges carried as traced ``wvnmlo/wvnmhi``
+        inputs.  Results are identical to the sequential path.
         """
         total = None
         aux: dict[str, Array] = {}
+        band_fluxes = (self._forward_fused(conc, dz, bc, atm) if fuse_bands
+                       else None)
         for name, band in self.bands.items():
-            band_bc = bc.get(name, bc) if isinstance(bc, dict) else bc
-            flux = band.forward(conc, dz, band_bc, atm)  # (nwave,ncol,nlvl,2)
-            aux[f"radiation/{name}/flux"] = flux
+            if band_fluxes is not None:
+                flux = band_fluxes[name]
+            else:
+                band_bc = bc.get(name, bc) if isinstance(bc, dict) else bc
+                flux = band.forward(conc, dz, band_bc, atm)
+            aux[f"radiation/{name}/flux"] = flux      # (nwave,ncol,nlvl,2)
             bflx = band.spectral_reduce(flux)
             total = bflx if total is None else total + bflx
 
@@ -105,6 +119,168 @@ class Radiation:
         if return_aux:
             return total, aux
         return total
+
+    # -- fused multi-band execution -----------------------------------------
+
+    _BC_DEFAULTS = {"fbeam": 0.0, "umu0": 1.0, "albedo": 0.0, "fisot": 0.0,
+                    "phi0": 0.0, "btemp": 0.0, "ttemp": 0.0, "temis": 0.0}
+
+    def _fuse_key(self, band):
+        from ..rt.disort.disort import Disort as _D
+
+        if not isinstance(band.rtsolver, _D):
+            return None
+        o = band.rtsolver.options
+        return (o.flags, o.nstr, o.nmom, o.nlyr, o.ncol, o.user_mu,
+                o.user_phi, o.user_tau, o.deltam, o.accuracy, o.kernel,
+                bool(band.options.wave_lower))
+
+    def _forward_fused(self, conc, dz, bc, atm) -> dict[str, Array]:
+        """One batched Disort solve per compatible band group (see
+        :meth:`forward`).  Returns band name -> per-bin flux, identical to
+        the sequential path."""
+        import numpy as np
+
+        from ..interp.layer2level import layer2level
+        from ..rt.disort.disort import Disort as _D
+
+        atm = dict(atm or {})
+        groups: dict = {}
+        for name, band in self.bands.items():
+            key = self._fuse_key(band)
+            groups.setdefault(key if key is not None else ("solo", name),
+                              []).append(name)
+
+        if not hasattr(self, "_fused_solvers"):
+            self._fused_solvers = {}
+
+        out: dict[str, Array] = {}
+        for key, names in groups.items():
+            if len(names) == 1:
+                name = names[0]
+                band = self.bands[name]
+                band_bc = bc.get(name, bc) if isinstance(bc, dict) else bc
+                out[name] = band.forward(conc, dz, band_bc, atm)
+                continue
+
+            props, nws, lows, highs, bcs = [], [], [], [], []
+            for name in names:
+                band = self.bands[name]
+                a = dict(atm)
+                if (band.options.wavenumber and "wavenumber" not in a
+                        and "wavelength" not in a):
+                    a["wavenumber"] = jnp.asarray(
+                        np.asarray(band.options.wavenumber), band.dtype)
+                p = band.compute_optics(conc, dz, **a)
+                props.append(p)
+                nws.append(p.shape[0])
+                lows += list(band.options.wave_lower)
+                highs += list(band.options.wave_upper)
+                bcs.append((band,
+                            bc.get(name, bc) if isinstance(bc, dict) else bc))
+
+            npmax = max(p.shape[-1] for p in props)
+            props = [p if p.shape[-1] == npmax else jnp.pad(
+                p, ((0, 0), (0, 0), (0, 0), (0, npmax - p.shape[-1])))
+                for p in props]
+            prop = jnp.concatenate(props, axis=0)
+
+            fused_bc: dict[str, Array] = {}
+            all_keys = set()
+            for _, b in bcs:
+                all_keys |= set(b.keys())
+            all_keys -= {"wvnmlo", "wvnmhi"}
+            for k in all_keys:
+                if k in ("h_lev", "radius"):
+                    # per-column geometry: identical across a band group
+                    fused_bc[k] = next(b[k] for _, b in bcs if k in b)
+                    continue
+                default = self._BC_DEFAULTS.get(k, 0.0)
+                parts = [jnp.broadcast_to(
+                    jnp.asarray(b.get(k, default), prop.dtype),
+                    (nw, band0.options.ncol))
+                    for (band0, b), nw in zip(bcs, nws)]
+                fused_bc[k] = jnp.concatenate(parts, axis=0)
+            if lows:
+                fused_bc["wvnmlo"] = jnp.asarray(np.asarray(lows), prop.dtype)
+                fused_bc["wvnmhi"] = jnp.asarray(np.asarray(highs),
+                                                 prop.dtype)
+
+            ds = self._fused_solvers.get(key)
+            if ds is None:
+                first = self.bands[names[0]]
+                dop = first.rtsolver.options.replace(
+                    nwave=int(sum(nws)), wave_lower=(), wave_upper=())
+                ds = _D(dop)
+                self._fused_solvers[key] = ds
+
+            temf = (layer2level(atm["temp"], self.bands[names[0]].options.l2l)
+                    if "temp" in atm else None)
+            flux = ds.forward(prop, fused_bc, temf)
+            ofs = 0
+            for name, nw in zip(names, nws):
+                out[name] = flux[ofs:ofs + nw]
+                ofs += nw
+        return out
+
+    # -- stellar beam (legacy Prepare path) ---------------------------------
+
+    def stellar_beam_bc(
+        self,
+        band: str,
+        mu0,
+        flux_file: str | None = None,
+        wave_file: str | None = None,
+        distance_au: float = 1.0,
+        btemp: float = 5772.0,
+        lum_scale: float = 1.0,
+    ) -> dict:
+        """Beam boundary inputs for a band — the ``stellar_beam`` flag's
+        behavior (legacy driver ``rt_solver_disort.cpp_:37-105``: fbeam per
+        spectral bin from a stellar spectrum file, or a blackbody at the
+        stellar temperature, scaled by the inverse-square distance).
+
+        Returns ``dict(fbeam, umu0)`` shaped ``(nwave, ncol)``.  With a
+        spectrum file, fbeam is interpolated onto the band's wavenumber
+        grid; otherwise it is the Planck spectral flux density at ``btemp``
+        through the solar solid angle at ``distance_au``.
+        """
+        import numpy as np
+
+        from ..rt.disort.planck import planck_band
+
+        b = self.bands[band]
+        nw = len(b.options.wave_lower) or 1
+        ncol = b.options.ncol
+        if not self.options.stellar_beam:
+            raise ValueError("stellar_beam flag is not set on this Radiation")
+        if flux_file is not None:
+            from ..tables.ascii import read_stellar_flux
+
+            flux, wave = read_stellar_flux(flux_file, wave_file)
+            grid = np.asarray(b.options.wavenumber
+                              or [(lo + hi) / 2 for lo, hi in
+                                  zip(b.options.wave_lower,
+                                      b.options.wave_upper)])
+            order = np.argsort(wave)
+            fb = np.interp(grid, wave[order], flux[order]) / distance_au**2
+        else:
+            # blackbody spectral flux density [W/m^2/cm^-1] through the
+            # stellar solid angle at distance_au (amars_sw.cpp:87-102 form)
+            rsun_au = 0.00465047
+            omega = np.pi * (rsun_au / distance_au) ** 2
+            grid = np.asarray(b.options.wavenumber
+                              or [(lo + hi) / 2 for lo, hi in
+                                  zip(b.options.wave_lower,
+                                      b.options.wave_upper)])
+            c1 = 1.19144e-8   # 2 h c^2 [W m^-2 (cm^-1)^-3 sr^-1]
+            c2 = 1.4388       # h c / k [cm K]
+            fb = (lum_scale * omega * c1 * grid**3
+                  / np.expm1(c2 * grid / btemp))
+        fbeam = jnp.broadcast_to(
+            jnp.asarray(fb, jnp.float32)[:, None], (nw, ncol))
+        umu0 = jnp.broadcast_to(jnp.asarray(mu0, jnp.float32), (nw, ncol))
+        return dict(fbeam=fbeam, umu0=umu0)
 
     # -- radiances (legacy CalBandRadiance / write_bin_radiance path) ------
 

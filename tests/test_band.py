@@ -308,8 +308,11 @@ def test_band_radiance_and_writers(tmp_path):
     bop = config_opts.replace(
         outdirs="(0., 0.) (60., 30.)",
         wavenumber=tuple(np.linspace(2000.0, 50000.0, nwave)),
+        # nstr=4 keeps the per-mode radiance graphs small — this test pins
+        # the ray-gather/writer plumbing, not solver accuracy
         disort=config_opts.disort.replace(
-            flags="lamber,quiet,usrang,intensity_correction"),
+            flags="lamber,quiet,usrang,intensity_correction",
+            nstr=4, nmom=4),
     )
     ro = RadiationOptions(bands=("sw",), band_options=(bop,))
     rad = Radiation(ro, dtype=jnp.float64)
@@ -340,3 +343,101 @@ def test_band_radiance_and_writers(tmp_path):
     data, rays = read_radiance_bin(paths[0])
     np.testing.assert_allclose(data, r[:, 0, :], rtol=1e-6)
     assert rays.shape == (2, 2)
+
+
+def test_stellar_beam_bc(tmp_path):
+    """stellar_beam flag: fbeam from a spectrum file or a blackbody,
+    inverse-square scaled (legacy Prepare, rt_solver_disort.cpp_:37-105)."""
+    nwave = 8
+    wmin, wmax = 2000.0, 50000.0
+    res = (wmax - wmin) / (nwave - 1)
+    species = {"S8": (0, 256.0e-3), "H2SO4": (1, 98.0e-3)}
+    ro = create_radiation_options(_regular_sw_config(res), species,
+                                  nlyr=4, ncol=1).set_flags("stellar_beam")
+    rad = Radiation(ro, dtype=jnp.float64)
+
+    # blackbody: scales inverse-square with distance
+    bc1 = rad.stellar_beam_bc("SW", mu0=0.8, distance_au=1.0)
+    bc2 = rad.stellar_beam_bc("SW", mu0=0.8, distance_au=2.0)
+    assert bc1["fbeam"].shape == (nwave, 1)
+    np.testing.assert_allclose(np.asarray(bc1["fbeam"]),
+                               4.0 * np.asarray(bc2["fbeam"]), rtol=1e-6)
+    # sanity: integrated solar flux at 1 AU within 20% of 1361 W/m^2
+    # (rectangle rule on this coarse grid)
+    total = float(np.sum(np.asarray(bc1["fbeam"])[:, 0]) * res)
+    assert 1000.0 < total < 1700.0, total
+
+    # spectrum file: interpolated onto the band grid
+    grid = np.linspace(wmin, wmax, nwave)
+    wavef = tmp_path / "wave.txt"
+    fluxf = tmp_path / "flux.txt"
+    np.savetxt(wavef, np.linspace(wmin - 100, wmax + 100, 50))
+    np.savetxt(fluxf, np.linspace(1.0, 2.0, 50))
+    bc3 = rad.stellar_beam_bc("SW", mu0=0.5, flux_file=str(fluxf),
+                              wave_file=str(wavef), distance_au=1.0)
+    fb = np.asarray(bc3["fbeam"])[:, 0]
+    assert fb[0] < fb[-1] and np.all((0.9 < fb) & (fb < 2.1))
+
+    # flag not set -> clear error
+    ro_off = create_radiation_options(_regular_sw_config(res), species,
+                                      nlyr=4, ncol=1)
+    with pytest.raises(ValueError, match="stellar_beam"):
+        Radiation(ro_off).stellar_beam_bc("SW", mu0=0.5)
+
+
+def test_fused_bands_match_sequential(tmp_path):
+    """fuse_bands=True (one batched solve over the concatenated wave axis)
+    must reproduce the sequential per-band path exactly."""
+    ng = 4
+    rng = np.random.default_rng(3)
+    tables = {}
+    for b in ("b1", "b2", "b3"):
+        path = str(tmp_path / f"fuse-ck-{b.upper()}.nc")
+        x, w = np.polynomial.legendre.leggauss(ng)
+        write_rfm_table(
+            path, np.linspace(1, 150, ng), np.logspace(5, 2, 6),
+            np.linspace(-50, 50, 5), np.linspace(300, 150, 6),
+            {"CO2": rng.uniform(-3, 0, (ng, 6, 5))}, weights=w / w.sum())
+        tables[b] = path
+    config = {
+        "opacity-sources": [
+            {"name": "CO2", "class": "HitranCK", "data": tables[b]}
+            for b in ("b1", "b2", "b3")],
+        "bands": ["B1", "B2", "B3"],
+        "B1": {"grid-type": "cktable", "wavenumber-range": [1.0, 150.0],
+               "opacity": ["CO2"], "rt-solver": "Disort",
+               "flags": ["thermal_emission"]},
+        "B2": {"grid-type": "cktable", "wavenumber-range": [150.0, 500.0],
+               "opacity": ["CO2"], "rt-solver": "Disort",
+               "flags": ["thermal_emission"]},
+        "B3": {"grid-type": "cktable", "wavenumber-range": [500.0, 1450.0],
+               "opacity": ["CO2"], "rt-solver": "Disort",
+               "flags": ["thermal_emission"]},
+        "Disort-flags": {"lamber": True, "onlyfl": True, "quiet": True},
+    }
+    species = {"CO2": (0, 44.0e-3)}
+    ro = create_radiation_options(config, species, nlyr=5, ncol=2)
+    rad = Radiation(ro, dtype=jnp.float64)
+
+    conc = jnp.ones((2, 5, 1), jnp.float64)
+    dz = jnp.full((5,), 800.0, jnp.float64)
+    atm = dict(pres=jnp.full((2, 5), 1.0e5, jnp.float64),
+               temp=jnp.full((2, 5), 255.0, jnp.float64))
+    bc = dict(albedo=0.1, btemp=280.0)
+
+    seq, aux_s = rad.forward(conc, dz, bc, atm, return_aux=True)
+    fus, aux_f = rad.forward(conc, dz, bc, atm, return_aux=True,
+                             fuse_bands=True)
+    np.testing.assert_allclose(np.asarray(fus), np.asarray(seq), rtol=1e-12)
+    for name in ro.bands:
+        np.testing.assert_allclose(
+            np.asarray(aux_f[f"radiation/{name}/flux"]),
+            np.asarray(aux_s[f"radiation/{name}/flux"]), rtol=1e-12)
+    # the fused path really did group: one solver for the 3 bands
+    assert len(rad._fused_solvers) == 1
+
+    # jittable end to end
+    fused_jit = jax.jit(lambda c, d: rad.forward(
+        c, d, bc, atm, fuse_bands=True))(conc, dz)
+    np.testing.assert_allclose(np.asarray(fused_jit), np.asarray(seq),
+                               rtol=1e-12)
