@@ -102,3 +102,94 @@ def load(path: str, module: Any):
     with np.load(path) as z:
         state = {k: z[k] for k in z.files}
     return load_state(module, state)
+
+
+# ---------------------------------------------------------------------------
+# parallel (per-host sharded) array IO — SURVEY.md section 5.8: the
+# TPU-native replacement for the reference's PNetCDF parallel output
+# ---------------------------------------------------------------------------
+
+def save_array_sharded(prefix: str, arr) -> list[str]:
+    """Write a (possibly sharded) jax array as per-host shard files.
+
+    Each process writes ONLY its addressable shards —
+    ``<prefix>.p<proc>.s<i>.npy`` plus a ``<prefix>.p<proc>.json`` index
+    with the global shape and each shard's index slices.  No cross-host
+    gather: on a multi-host slice every host does local, contention-free
+    IO (the role PNetCDF played for the reference,
+    ``cmake/parameters.cmake:11-17``).  Plain numpy arrays degrade to one
+    ``.npy``.  Returns the paths written by THIS process.
+    """
+    import json
+    import os
+
+    import jax
+
+    shards = getattr(arr, "addressable_shards", None)
+    if shards is None:
+        path = f"{prefix}.npy"
+        np.save(path, np.asarray(arr))
+        return [path]
+    pid = jax.process_index()
+    meta = {"global_shape": list(np.shape(arr)),
+            "dtype": str(arr.dtype),
+            "process": pid,
+            "shards": []}
+    paths = []
+    seen = set()
+    for i, sh in enumerate(shards):
+        idx = tuple(
+            (s.start or 0,
+             s.stop if s.stop is not None else dim)
+            for s, dim in zip(sh.index, np.shape(arr)))
+        if idx in seen:            # replicated shard: write once
+            continue
+        seen.add(idx)
+        fn = f"{prefix}.p{pid}.s{i}.npy"
+        np.save(fn, np.asarray(sh.data))
+        meta["shards"].append({"file": os.path.basename(fn),
+                               "index": [list(t) for t in idx]})
+        paths.append(fn)
+    mpath = f"{prefix}.p{pid}.json"
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    return paths + [mpath]
+
+
+def load_array_sharded(prefix: str) -> np.ndarray:
+    """Assemble the global array from every process's shard files.
+
+    Host-side (numpy); reads all ``<prefix>.p*.json`` indexes present in
+    the directory — after a multi-host run, gather the per-host files to
+    one place first (or point every host at shared storage).
+    """
+    import glob
+    import json
+    import os
+
+    if os.path.exists(f"{prefix}.npy"):
+        return np.load(f"{prefix}.npy")
+    metas = sorted(glob.glob(f"{prefix}.p*.json"))
+    if not metas:
+        raise FileNotFoundError(f"no shard index files match {prefix}.p*.json")
+    with open(metas[0]) as f:
+        shape = json.load(f)["global_shape"]
+    out = None
+    filled = np.zeros(shape, bool)
+    dirname = os.path.dirname(os.path.abspath(metas[0]))
+    for mpath in metas:
+        with open(mpath) as f:
+            meta = json.load(f)
+        if meta["global_shape"] != shape:
+            raise ValueError(f"inconsistent global shapes under {prefix}")
+        if out is None:
+            out = np.zeros(shape, np.dtype(meta["dtype"]))
+        for rec in meta["shards"]:
+            sl = tuple(slice(a, b) for a, b in rec["index"])
+            out[sl] = np.load(os.path.join(dirname, rec["file"]))
+            filled[sl] = True
+    if not bool(filled.all()):
+        raise ValueError(
+            f"shard files under {prefix} do not cover the global array "
+            "(gather all hosts' files first)")
+    return out

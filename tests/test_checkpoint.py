@@ -74,3 +74,4 @@ def test_band_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(band2.attenuators["s8"].kdata),
         np.asarray(band.attenuators["s8"].kdata))
+

@@ -146,3 +146,38 @@ def test_shard_band_inputs_helper():
         NamedSharding(mesh, P("col", None, None)), conc_s.ndim)
     assert bc_s["fbeam"].sharding.is_equivalent_to(
         NamedSharding(mesh, P("wave", "col")), 2)
+
+
+@needs_mesh
+def test_sharded_array_io_roundtrip(tmp_path):
+    """Per-host sharded writes reassemble to the global array (SURVEY 5.8:
+    the PNetCDF-replacement output path); replicated axes write once."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pyharp_tpu.parallel import make_radiation_mesh
+    from pyharp_tpu.utils.checkpoint import (load_array_sharded,
+                                             save_array_sharded)
+
+    ndev = len(jax.devices())
+    mesh = make_radiation_mesh(n_col=ndev, n_wave=1)
+    x = jnp.arange(ndev * 4 * 3, dtype=jnp.float64).reshape(ndev * 4, 3)
+    xs = jax.device_put(x, NamedSharding(mesh, P("col", None)))
+
+    prefix = str(tmp_path / "flux")
+    paths = save_array_sharded(prefix, xs)
+    assert len(paths) == ndev + 1          # one file per shard + index
+    back = load_array_sharded(prefix)
+    np.testing.assert_array_equal(back, np.asarray(x))
+
+    # replicated array: a single shard file, still exact
+    xr = jax.device_put(x, NamedSharding(mesh, P()))
+    prefix2 = str(tmp_path / "rep")
+    paths2 = save_array_sharded(prefix2, xr)
+    assert len(paths2) == 2
+    np.testing.assert_array_equal(load_array_sharded(prefix2), np.asarray(x))
+
+    # plain numpy degrades to .npy
+    prefix3 = str(tmp_path / "plain")
+    save_array_sharded(prefix3, np.asarray(x))
+    np.testing.assert_array_equal(load_array_sharded(prefix3), np.asarray(x))
