@@ -441,3 +441,40 @@ def test_fused_bands_match_sequential(tmp_path):
         c, d, bc, atm, fuse_bands=True))(conc, dz)
     np.testing.assert_allclose(np.asarray(fused_jit), np.asarray(seq),
                                rtol=1e-12)
+
+
+def test_fused_bands_heterogeneous_nwave_beam():
+    """Fusion across regular-grid beam bands with DIFFERENT per-band nwave
+    (concat + per-band bc broadcasting) matches the sequential path."""
+    species = {"S8": (0, 256.0e-3), "H2SO4": (1, 98.0e-3)}
+    config = {
+        "opacity-sources": [
+            {"name": "S8", "class": "S8Fuller", "data": "s8_k_fuller.txt"},
+            {"name": "H2SO4", "class": "H2SO4Simple", "data": "h2so4.txt"},
+        ],
+        "bands": ["SWA", "SWB"],
+        "SWA": {"grid-type": "regular", "wavenumber-range": [2000.0, 20000.0],
+                "resolution": 2000.0, "opacity": ["S8", "H2SO4"],
+                "rt-solver": "Disort"},
+        "SWB": {"grid-type": "regular", "wavenumber-range": [20000.0, 50000.0],
+                "resolution": 5000.0, "opacity": ["S8"],
+                "rt-solver": "Disort"},
+        "Disort-flags": {"lamber": True, "onlyfl": True, "quiet": True},
+    }
+    ro = create_radiation_options(config, species, nlyr=6, ncol=2, nstr=4)
+    rad = Radiation(ro, dtype=jnp.float64)
+    nwA = len(ro.band_options[0].wave_lower)
+    nwB = len(ro.band_options[1].wave_lower)
+    assert nwA != nwB
+
+    conc = jnp.full((2, 6, 2), 1e-4, jnp.float64)
+    dz = jnp.full((6,), 1500.0, jnp.float64)
+    bc = dict(fbeam=2.0, umu0=0.7, albedo=0.2)   # scalars broadcast per band
+
+    seq = rad.forward(conc, dz, bc)
+    fus = rad.forward(conc, dz, bc, fuse_bands=True)
+    np.testing.assert_allclose(np.asarray(fus), np.asarray(seq), rtol=1e-12)
+    assert len(rad._fused_solvers) == 1
+    # the fused solver really spans both bands' bins
+    (key, ds), = rad._fused_solvers.items()
+    assert ds.options.nwave == nwA + nwB

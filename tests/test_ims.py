@@ -130,8 +130,18 @@ def test_corrected_closer_to_high_order_truth():
     mom = np.broadcast_to(hg_moments(g, nmom), (4, nmom + 1)).copy()
     aureole_mu = (-0.8, -0.6)            # downward, near and off the beam
 
-    truth, _ = _radiance(16, nmom, "lamber,quiet,usrang", dtau, ssa, mom,
-                         aureole_mu)
+    # 16-stream reference radiances at the bottom level for the two aureole
+    # angles, computed ONCE with this suite's own solver (f64 CPU):
+    #   truth, _ = _radiance(16, nmom, "lamber,quiet,usrang",
+    #                        dtau, ssa, mom, aureole_mu)
+    #   truth[0, 0, -1, 0, :]
+    # Frozen because the 16-mode unrolled radiance graph costs ~10 minutes
+    # of XLA:CPU compile — by far the suite's most expensive single test —
+    # while the values are deterministic to ~1e-12 across runs.  At g^16 ~
+    # 3e-3 the 16-stream run resolves the phase expansion essentially
+    # exactly, so these stand in for the exact radiances to ~1-2%.
+    truth_bot = np.array([1.7892389458112783, 1.2206793934981326])
+
     plain, _ = _radiance(8, nmom, "lamber,quiet,usrang", dtau, ssa, mom,
                          aureole_mu)
     corr, _ = _radiance(8, nmom, "lamber,quiet,usrang,intensity_correction",
@@ -144,7 +154,7 @@ def test_corrected_closer_to_high_order_truth():
     # its own at the aureole peak, so a tighter bound would test the truth
     # run, not the correction)
     for i_mu in range(len(aureole_mu)):
-        e_plain = abs(plain[0, 0, -1, 0, i_mu] - truth[0, 0, -1, 0, i_mu])
-        e_corr = abs(corr[0, 0, -1, 0, i_mu] - truth[0, 0, -1, 0, i_mu])
+        e_plain = abs(plain[0, 0, -1, 0, i_mu] - truth_bot[i_mu])
+        e_corr = abs(corr[0, 0, -1, 0, i_mu] - truth_bot[i_mu])
         assert e_corr < 0.25 * e_plain, (i_mu, e_corr, e_plain)
-        assert e_corr < 0.05 * abs(truth[0, 0, -1, 0, i_mu])
+        assert e_corr < 0.05 * abs(truth_bot[i_mu])
