@@ -478,3 +478,57 @@ def test_fused_bands_heterogeneous_nwave_beam():
     # the fused solver really spans both bands' bins
     (key, ds), = rad._fused_solvers.items()
     assert ds.options.nwave == nwA + nwB
+
+
+def test_fused_bands_grouping_and_fallbacks(tmp_path):
+    """Incompatible bands (planck vs beam flags; BeerLambert) must not fuse
+    with each other, and mixed nprop within a group pads correctly."""
+    nw = 3   # LBL-style table: wave axis == the bands' 3-point grid
+    path = str(tmp_path / "grp-lbl-B1.nc")
+    write_rfm_table(path, np.array([2500.0, 3500.0, 4500.0]),
+                    np.logspace(5, 2, 6), np.linspace(-50, 50, 5),
+                    np.linspace(300, 150, 6),
+                    {"CO2": np.full((nw, 6, 5), -2.0)})
+
+    op_aer = AttenuatorOptions(
+        species_names=("CO2", "S8"), species_weights=(44.0e-3, 256.0e-3),
+        species_ids=(1,), type="s8_fuller",
+        opacity_files=("s8_k_fuller.txt",))
+    op_gas = AttenuatorOptions(
+        species_names=("CO2", "S8"), species_weights=(44.0e-3, 256.0e-3),
+        species_ids=(0,), type="rfm", opacity_files=(path,))
+    mk = lambda name, **kw: RadiationBandOptions(
+        name=name, nlyr=4, ncol=1,
+        wave_lower=tuple(2000.0 + 1000.0 * i for i in range(nw)),
+        wave_upper=tuple(3000.0 + 1000.0 * i for i in range(nw)),
+        wavenumber=tuple(2500.0 + 1000.0 * i for i in range(nw)), **kw)
+    # two fusable beam bands with DIFFERENT nprop (gas-only vs gas+aerosol)
+    b1 = mk("b1", attenuators=(("gas", op_gas),),
+            disort=DisortOptions(flags="lamber,quiet,onlyfl", nstr=4,
+                                 nmom=4))
+    b2 = mk("b2", attenuators=(("gas", op_gas), ("aer", op_aer)),
+            disort=DisortOptions(flags="lamber,quiet,onlyfl", nstr=4,
+                                 nmom=4))
+    # a planck band (different flags -> different group)
+    b3 = mk("b3", attenuators=(("gas", op_gas),),
+            disort=DisortOptions(flags="lamber,quiet,onlyfl,planck", nstr=4,
+                                 nmom=4))
+    # a BeerLambert band (never fused)
+    b4 = mk("b4", attenuators=(("gas", op_gas),), solver_name="beer_lambert")
+    ro = RadiationOptions(bands=("b1", "b2", "b3", "b4"),
+                          band_options=(b1, b2, b3, b4))
+    rad = Radiation(ro, dtype=jnp.float64)
+
+    conc = jnp.full((1, 4, 2), 1e-3, jnp.float64)
+    dz = jnp.full((4,), 500.0, jnp.float64)
+    atm = dict(pres=jnp.full((1, 4), 1e5, jnp.float64),
+               temp=jnp.full((1, 4), 260.0, jnp.float64))
+    bc = dict(fbeam=2.0, umu0=0.7, albedo=0.2, btemp=270.0)
+
+    seq = rad.forward(conc, dz, bc, atm)
+    fus = rad.forward(conc, dz, bc, atm, fuse_bands=True)
+    np.testing.assert_allclose(np.asarray(fus), np.asarray(seq), rtol=1e-12)
+    # only b1+b2 fused; b3 (planck) and b4 (BeerLambert) solved solo
+    assert len(rad._fused_solvers) == 1
+    (key, ds), = rad._fused_solvers.items()
+    assert ds.options.nwave == 2 * nw
