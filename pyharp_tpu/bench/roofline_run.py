@@ -71,7 +71,8 @@ def main(ncol=8192, nwave=8, nlyr=100, nstr=8):
     N = nstr // 2
     L, B = nlyr, nwave * ncol
     nmom = nstr
-    sweeps = 5 if N <= 4 else 8
+    # must mirror the kernel's default sweep count (pallas_kernels.py)
+    sweeps = 3 if N <= 2 else (4 if N <= 4 else 8)
     ang = S.make_static_angles(nstr, nstr, 0)
 
     rng = np.random.default_rng(0)
@@ -120,8 +121,9 @@ def main(ncol=8192, nwave=8, nlyr=100, nstr=8):
     # backward writes (2 + eps) instead of (2N) f32 and reads ptop_p/m
     from pyharp_tpu.rt.disort.pallas_kernels import solve_bvp_flux_pallas
 
+    # + tp/tm reads (2N), + fl writes (2), - a/b writes (2N) => net +2 f32
     f32 = 4
-    bf_by = b_by + L * B * f32 * (2 * N + 2 - 2 * N - 2 * N)  # +tp/tm, -a/b+fl
+    bf_by = b_by + L * B * f32 * 2
     bvpf = jax.jit(lambda sol, tp, tm, bp, bm, ft, br, al: _ck(
         *solve_bvp_flux_pallas(sol, tp, tm, bp, bm, ft, br, al, ang)))
     r_bvpf = roofline(bvpf, sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop,

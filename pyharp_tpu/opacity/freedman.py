@@ -12,7 +12,8 @@ This module implements the physics those classes wrap:
   (their eqs. 3-5 with the Table 2 coefficients, as transcribed in several
   public radiative-transfer codes).  Pass ``kappa_fn`` to substitute a
   table interpolator; the legacy :class:`FreedmanCoeffs` tanh stand-in
-  from r3 remains available via ``kappa_fn=FreedmanMean.coeff_surface``.
+  from r3 remains available as the module-level
+  :func:`legacy_tanh_surface` (``kappa_fn=legacy_tanh_surface``).
 * **FreedmanSimple** — a power-law opacity
   ``kappa = k0 (P / P0)^a (T / T0)^b`` (the classic semi-grey ansatz the
   CANOE "simple" variants configure), fully option-driven.
@@ -57,9 +58,15 @@ def freedman2014_kappa(pres: Array, temp: Array, met: float = 0.0) -> Array:
     The high-P coefficient set switches at 800 K (Table 2); implemented as
     a ``where`` so the surface stays jittable (the fit is continuous only
     approximately at the seam, as in the paper).
+
+    Domain guard: the low-P term divides by (log10 P_cgs + c4), which has a
+    pole at P ~ 1.1e-3 dyn/cm^2 — BELOW the fit's tabulated domain (the
+    Freedman grids start at ~1 ubar = 1 dyn/cm^2).  Pressure is floored at
+    0.1 dyn/cm^2 (1e-2 Pa) so evaluations outside the fit domain saturate
+    smoothly instead of blowing up to inf extinction.
     """
     dtype = jnp.result_type(pres, temp)
-    p_cgs = jnp.maximum(jnp.asarray(pres, dtype) * 10.0, 1e-10)
+    p_cgs = jnp.maximum(jnp.asarray(pres, dtype) * 10.0, 0.1)
     T = jnp.maximum(jnp.asarray(temp, dtype), 1.0)
     lt = jnp.log10(T)
     lp = jnp.log10(p_cgs)
@@ -76,6 +83,21 @@ def freedman2014_kappa(pres: Array, temp: Array, met: float = 0.0) -> Array:
 
     logk_high = jnp.where(T < 800.0, _high(_F14_HI_COLD), _high(_F14_HI_HOT))
     return 10.0 ** logk_low + 10.0 ** logk_high
+
+
+def legacy_tanh_surface(pres: Array, temp: Array, met: float = 0.0,
+                        coeffs: "FreedmanCoeffs | None" = None) -> Array:
+    """The r3 tanh stand-in opacity surface [cm^2/g] (see
+    :class:`FreedmanCoeffs`).  Usable directly as ``kappa_fn``."""
+    c = coeffs or FreedmanCoeffs()
+    dtype = jnp.result_type(pres, temp)
+    p_cgs = jnp.maximum(jnp.asarray(pres, dtype) * 10.0, 1e-10)
+    T = jnp.maximum(jnp.asarray(temp, dtype), 1.0)
+    lt = jnp.log10(T)
+    lp = jnp.log10(p_cgs)
+    logk = (c.a0 + c.a1 * jnp.tanh((lt - c.a2) / c.a3)
+            + c.a4 * (lp - 6.0) + c.a5 * met)
+    return 10.0 ** logk
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,8 +133,9 @@ class FreedmanMean:
 
     Args:
       kappa_fn: optional ``(pres_Pa, temp_K) -> kappa [cm^2/g]`` override
-        (e.g. the published Freedman et al. fit or a table interpolator);
-        defaults to the :class:`FreedmanCoeffs` analytic surface.
+        (e.g. a table interpolator, or :func:`legacy_tanh_surface` for the
+        r3 stand-in); defaults to :func:`freedman2014_kappa`, the
+        published Freedman et al. (2014) analytic fit.
     """
 
     nprop = 1
@@ -138,14 +161,7 @@ class FreedmanMean:
 
     def coeff_surface(self, pres: Array, temp: Array) -> Array:
         """The r3 tanh stand-in surface (kept for configs that tuned it)."""
-        c = self.coeffs
-        p_cgs = jnp.maximum(pres.astype(self.dtype) * 10.0, 1e-10)
-        T = jnp.maximum(temp.astype(self.dtype), 1.0)
-        lt = jnp.log10(T)
-        lp = jnp.log10(p_cgs)
-        logk = (c.a0 + c.a1 * jnp.tanh((lt - c.a2) / c.a3)
-                + c.a4 * (lp - 6.0) + c.a5 * self.met)
-        return 10.0 ** logk
+        return legacy_tanh_surface(pres, temp, self.met, self.coeffs)
 
     def forward(self, conc: Array, **kwargs: Array) -> Array:
         pres = jnp.asarray(kwargs["pres"], self.dtype)   # (ncol, nlyr)

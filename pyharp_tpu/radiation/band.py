@@ -201,6 +201,17 @@ class RadiationBand:
         prop = jnp.concatenate([tau, prop[..., index.ISS:]], axis=-1)
         return prop
 
+    def atm_with_spectral(self, atm: dict | None) -> dict:
+        """Copy ``atm`` with this band's sample grid injected as the
+        attenuators' ``wavenumber`` kwarg when the caller gave neither a
+        wavenumber nor a wavelength grid."""
+        atm = dict(atm or {})
+        if (self.options.wavenumber and "wavenumber" not in atm
+                and "wavelength" not in atm):
+            atm["wavenumber"] = jnp.asarray(
+                np.asarray(self.options.wavenumber), self.dtype)
+        return atm
+
     def forward(
         self,
         conc: Array,
@@ -212,11 +223,7 @@ class RadiationBand:
 
         ``atm`` carries attenuator kwargs (pres/temp/wavelength/wavenumber).
         """
-        atm = dict(atm or {})
-        if (self.options.wavenumber and "wavenumber" not in atm
-                and "wavelength" not in atm):
-            atm["wavenumber"] = jnp.asarray(
-                np.asarray(self.options.wavenumber), self.dtype)
+        atm = self.atm_with_spectral(atm)
         prop = self.compute_optics(conc, dz, **atm)
 
         # blackboard export (eager mode only; see module docstring)
@@ -250,11 +257,7 @@ class RadiationBand:
         if self.rayout.shape[0] == 0:
             raise ValueError(
                 f"band {self.options.name}: no outdirs configured")
-        atm = dict(atm or {})
-        if (self.options.wavenumber and "wavenumber" not in atm
-                and "wavelength" not in atm):
-            atm["wavenumber"] = jnp.asarray(
-                np.asarray(self.options.wavenumber), self.dtype)
+        atm = self.atm_with_spectral(atm)
         prop = self.compute_optics(conc, dz, **atm)
         temf = (layer2level(atm["temp"], self.options.l2l)
                 if "temp" in atm else None)

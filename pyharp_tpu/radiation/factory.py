@@ -171,9 +171,15 @@ def create_radiation_options(
 
         nw = nwave or 1
         if wave_grid:
-            # regular grid: per-bin edges subdivide [wmin, wmax]
-            wave_lower = tuple(w - res / 2 for w in wave_grid)
-            wave_upper = tuple(w + res / 2 for w in wave_grid)
+            # regular grid: per-bin edges subdivide [wmin, wmax]; the
+            # outermost bins are CLIPPED to the band range (half width), so
+            # the bins tile exactly [wmin, wmax] — Planck sub-band
+            # integrals sum to the full band integral, and adjacent bands
+            # sharing a boundary do not double-count the seam interval.
+            # Width-weighted beam integration thereby becomes the
+            # trapezoid rule (half weights at the end samples).
+            wave_lower = tuple(max(w - res / 2, wmin) for w in wave_grid)
+            wave_upper = tuple(min(w + res / 2, wmax) for w in wave_grid)
         else:
             # cktable: every g-point represents the WHOLE band (weights sum
             # to 1), so each bin carries the full band edges — matching the

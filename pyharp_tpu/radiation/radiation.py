@@ -131,9 +131,12 @@ class Radiation:
         if not isinstance(band.rtsolver, _D):
             return None
         o = band.rtsolver.options
+        # l2l is part of the key: the fused temf is computed once per
+        # group, so bands with different level-interpolation settings must
+        # not share one
         return (o.flags, o.nstr, o.nmom, o.nlyr, o.ncol, o.user_mu,
                 o.user_phi, o.user_tau, o.deltam, o.accuracy, o.kernel,
-                bool(band.options.wave_lower))
+                bool(band.options.wave_lower), band.options.l2l)
 
     def _forward_fused(self, conc, dz, bc, atm) -> dict[str, Array]:
         """One batched Disort solve per compatible band group (see
@@ -166,18 +169,21 @@ class Radiation:
             props, nws, lows, highs, bcs = [], [], [], [], []
             for name in names:
                 band = self.bands[name]
-                a = dict(atm)
-                if (band.options.wavenumber and "wavenumber" not in a
-                        and "wavelength" not in a):
-                    a["wavenumber"] = jnp.asarray(
-                        np.asarray(band.options.wavenumber), band.dtype)
-                p = band.compute_optics(conc, dz, **a)
+                p = band.compute_optics(conc, dz,
+                                        **band.atm_with_spectral(atm))
+                band_bc = bc.get(name, bc) if isinstance(bc, dict) else bc
                 props.append(p)
                 nws.append(p.shape[0])
-                lows += list(band.options.wave_lower)
-                highs += list(band.options.wave_upper)
-                bcs.append((band,
-                            bc.get(name, bc) if isinstance(bc, dict) else bc))
+                # per-bin band edges: caller-supplied traced bc edges take
+                # precedence over the static options tuples, exactly like
+                # Disort._band_edges in the sequential path
+                if "wvnmlo" in band_bc:
+                    lows.append(jnp.asarray(band_bc["wvnmlo"]))
+                    highs.append(jnp.asarray(band_bc["wvnmhi"]))
+                elif band.options.wave_lower:
+                    lows.append(np.asarray(band.options.wave_lower))
+                    highs.append(np.asarray(band.options.wave_upper))
+                bcs.append((band, band_bc))
 
             npmax = max(p.shape[-1] for p in props)
             props = [p if p.shape[-1] == npmax else jnp.pad(
@@ -202,9 +208,15 @@ class Radiation:
                     for (band0, b), nw in zip(bcs, nws)]
                 fused_bc[k] = jnp.concatenate(parts, axis=0)
             if lows:
-                fused_bc["wvnmlo"] = jnp.asarray(np.asarray(lows), prop.dtype)
-                fused_bc["wvnmhi"] = jnp.asarray(np.asarray(highs),
-                                                 prop.dtype)
+                if len(lows) != len(names):
+                    raise ValueError(
+                        "fuse_bands: every band in a group must carry band "
+                        "edges (bc wvnmlo/wvnmhi or options wave_lower) "
+                        "when any does")
+                fused_bc["wvnmlo"] = jnp.concatenate(
+                    [jnp.asarray(x, prop.dtype) for x in lows])
+                fused_bc["wvnmhi"] = jnp.concatenate(
+                    [jnp.asarray(x, prop.dtype) for x in highs])
 
             ds = self._fused_solvers.get(key)
             if ds is None:

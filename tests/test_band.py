@@ -192,9 +192,14 @@ def test_yaml_regular_grid_matches_hand_integration():
                                   nlyr=nlyr, ncol=ncol, nstr=8)
     bop = ro.band_options[0]
     assert len(bop.wave_lower) == nwave
-    # per-bin edges subdivide the band: each bin has width == res
+    # per-bin edges TILE [wmin, wmax]: interior bins res wide, the clipped
+    # end bins res/2 (trapezoid weights), contiguous with no overlap
     widths = np.asarray(bop.wave_upper) - np.asarray(bop.wave_lower)
-    np.testing.assert_allclose(widths, res, rtol=1e-12)
+    np.testing.assert_allclose(widths[1:-1], res, rtol=1e-12)
+    np.testing.assert_allclose(widths[[0, -1]], res / 2, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(bop.wave_lower)[1:],
+                               np.asarray(bop.wave_upper)[:-1], rtol=1e-12)
+    assert bop.wave_lower[0] == wmin and bop.wave_upper[-1] == wmax
     np.testing.assert_allclose(np.asarray(bop.wavenumber),
                                np.linspace(wmin, wmax, nwave), rtol=1e-12)
 
@@ -209,13 +214,20 @@ def test_yaml_regular_grid_matches_hand_integration():
               albedo=jnp.ones((nwave, ncol)))
     total = rad.forward(conc, dz, bc)   # (ncol, nlvl, 2)
 
-    # hand path (examples/amars_sw.py style): attenuators wired directly to
-    # Disort, rectangle-rule integration sum(F) * res
+    # hand path (examples/amars_sw.py style): attenuators wired directly
+    # to Disort; the YAML band's clipped end bins make its quadrature the
+    # trapezoid rule, which differs from the example's rectangle rule by
+    # exactly half the two end samples
     band = rad.bands["SW"]
     prop = band.compute_optics(conc, dz, wavenumber=wave)
-    flux = band.rtsolver.forward(prop, bc)
-    want = np.asarray(flux.sum(axis=0) * res)
-    np.testing.assert_allclose(np.asarray(total), want, rtol=1e-3)
+    flux = np.asarray(band.rtsolver.forward(prop, bc))
+    w = np.full(nwave, res)
+    w[[0, -1]] = res / 2
+    want = np.einsum("g,g...->...", w, flux)
+    np.testing.assert_allclose(np.asarray(total), want, rtol=1e-6)
+    # ... and stays within sampling error of the rectangle-rule integral
+    np.testing.assert_allclose(np.asarray(total), flux.sum(axis=0) * res,
+                               rtol=2e-2)
     # regression: the r3 bug overcounted by ~nwave
     assert np.all(np.asarray(total)[..., 1] < want[..., 1] * 1.5)
 
@@ -252,12 +264,57 @@ def test_yaml_regular_grid_thermal_planck_subbins():
               btemp=jnp.full((nwave, ncol), btemp, jnp.float64))
     total = rad.forward(conc, dz, bc, atm)
 
+    # clipped end bins tile [wmin, wmax] EXACTLY, so the sub-bin Planck
+    # integrals sum to the full band integral
     want = np.pi * float(planck_band(
         jnp.asarray(btemp, jnp.float64),
-        jnp.asarray(wmin - res / 2, jnp.float64),
-        jnp.asarray(wmax + res / 2, jnp.float64)))
+        jnp.asarray(wmin, jnp.float64),
+        jnp.asarray(wmax, jnp.float64)))
     got = float(total[0, -1, 0])
-    np.testing.assert_allclose(got, want, rtol=2e-3)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_adjacent_thermal_bands_tile_without_seam_overlap():
+    """Two adjacent regular thermal bands must sum to the single band
+    covering their union over a transparent atmosphere: the shared
+    boundary interval is counted exactly once (r4 review finding)."""
+    from pyharp_tpu.rt.disort.planck import planck_band
+
+    btemp, nlyr, ncol = 260.0, 3, 1
+    species = {"S8": (0, 256.0e-3)}
+
+    def thermal_cfg(bands):
+        cfg = {
+            "opacity-sources": [
+                {"name": "S8", "class": "S8Fuller",
+                 "data": "s8_k_fuller.txt"}],
+            "bands": [b[0] for b in bands],
+            "Disort-flags": {"lamber": True, "onlyfl": True, "quiet": True},
+        }
+        for name, lo, hi in bands:
+            cfg[name] = {"grid-type": "regular", "wavenumber-range": [lo, hi],
+                         "resolution": 50.0, "opacity": ["S8"],
+                         "rt-solver": "Disort",
+                         "flags": ["thermal_emission"]}
+        return cfg
+
+    def toa_up(bands):
+        ro = create_radiation_options(thermal_cfg(bands), species,
+                                      nlyr=nlyr, ncol=ncol)
+        rad = Radiation(ro, dtype=jnp.float64)
+        conc = jnp.full((ncol, nlyr, 2), 1e-30, jnp.float64)
+        dz = jnp.full((nlyr,), 100.0, jnp.float64)
+        atm = dict(temp=jnp.full((ncol, nlyr), 200.0, jnp.float64))
+        bc = dict(albedo=0.0, btemp=btemp)
+        return float(rad.forward(conc, dz, bc, atm)[0, -1, 0])
+
+    split = toa_up([("A", 100.0, 600.0), ("B", 600.0, 1100.0)])
+    joint = toa_up([("AB", 100.0, 1100.0)])
+    np.testing.assert_allclose(split, joint, rtol=1e-6)
+    want = np.pi * float(planck_band(jnp.asarray(btemp, jnp.float64),
+                                     jnp.asarray(100.0, jnp.float64),
+                                     jnp.asarray(1100.0, jnp.float64)))
+    np.testing.assert_allclose(split, want, rtol=1e-5)
 
 
 def test_spherical_flux_correction_matches_reference_loop():

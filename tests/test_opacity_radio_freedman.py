@@ -246,3 +246,22 @@ def test_nh3_line_weights_match_berge_gulkis_derivation():
     for ln, (w, E_K) in zip(lines, want):
         np.testing.assert_allclose(ln.s300, w / w33 * 1e-13, rtol=2e-3)
         np.testing.assert_allclose(ln.elow, E_K, rtol=5e-3)
+
+
+def test_freedman2014_low_pressure_guard():
+    """The low-P term's pole at log10(P_cgs) = -c4 (P ~ 1.1e-4 Pa) must be
+    guarded: opacities stay finite and positive down to vacuum pressures
+    (r4 review finding), saturating at the clamped fit-domain edge."""
+    from pyharp_tpu.opacity.freedman import freedman2014_kappa
+
+    for p in (1e-3, 1.1e-4, 1e-5, 1e-12, 0.0):
+        for t in (100.0, 1000.0, 3000.0):
+            k = float(freedman2014_kappa(jnp.asarray(p, jnp.float64),
+                                         jnp.asarray(t, jnp.float64)))
+            assert np.isfinite(k) and k > 0, (p, t, k)
+    # below the clamp everything saturates to the same value
+    k1 = float(freedman2014_kappa(jnp.asarray(1e-2, jnp.float64),
+                                  jnp.asarray(1000.0, jnp.float64)))
+    k2 = float(freedman2014_kappa(jnp.asarray(1e-9, jnp.float64),
+                                  jnp.asarray(1000.0, jnp.float64)))
+    np.testing.assert_allclose(k1, k2, rtol=1e-12)
