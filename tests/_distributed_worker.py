@@ -72,12 +72,23 @@ def main():
     @jax.jit
     def step(prop, bc, temf):
         flux = ds.forward(prop, bc, temf)
-        # band reduction + a scalar diagnostic that forces a cross-process
-        # collective (the only steady-state communication in the design)
-        return flux.mean()
+        # a scalar diagnostic that forces a cross-process collective (the
+        # only steady-state communication in the design) + the column-
+        # sharded flux field itself
+        return flux.mean(), flux
 
-    out = float(step(prop_g, bc_g, temf_g))
+    out, flux = step(prop_g, bc_g, temf_g)
+    out = float(out)
     print(f"proc {pid}: checksum {out:.12e}", flush=True)
+
+    # per-host parallel output (SURVEY 5.8): every process writes ONLY its
+    # addressable shards; the parent reassembles and checks the global
+    # array (the role PNetCDF played for the reference)
+    if len(sys.argv) > 4:
+        from pyharp_tpu.utils.checkpoint import save_array_sharded
+
+        save_array_sharded(sys.argv[4], flux)
+        print(f"proc {pid}: shards written", flush=True)
 
 
 if __name__ == "__main__":

@@ -26,10 +26,11 @@ def _free_port():
     return port
 
 
-def test_two_process_distributed_forward():
+def test_two_process_distributed_forward(tmp_path):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "_distributed_worker.py")
     coord = f"127.0.0.1:{_free_port()}"
+    shard_prefix = str(tmp_path / "flux")
 
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)   # no TPU tunnel in the workers
@@ -38,7 +39,7 @@ def test_two_process_distributed_forward():
     env["PYTHONPATH"] = root
 
     procs = [subprocess.Popen(
-        [sys.executable, worker, coord, "2", str(pid)],
+        [sys.executable, worker, coord, "2", str(pid), shard_prefix],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         cwd=root) for pid in range(2)]
     outs = []
@@ -55,7 +56,7 @@ def test_two_process_distributed_forward():
     sums = {}
     for out in outs:
         for line in out.splitlines():
-            if line.startswith("proc "):
+            if line.startswith("proc ") and "checksum" in line:
                 pid = int(line.split()[1].rstrip(":"))
                 sums[pid] = float(line.split()[-1])
     assert set(sums) == {0, 1}, outs
@@ -77,3 +78,11 @@ def test_two_process_distributed_forward():
 
     np.testing.assert_allclose(sums[0], ref_val, rtol=1e-10)
     np.testing.assert_allclose(sums[1], ref_val, rtol=1e-10)
+
+    # parallel output: both processes wrote only their own column shards;
+    # reassembly must yield the global flux field with mean == checksum
+    from pyharp_tpu.utils.checkpoint import load_array_sharded
+
+    flux = load_array_sharded(shard_prefix)
+    assert flux.shape == (2, 8, 5, 2)          # (nwave, ncol, nlvl, 2)
+    np.testing.assert_allclose(float(flux.mean()), ref_val, rtol=1e-10)
