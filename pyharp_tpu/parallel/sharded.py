@@ -79,8 +79,7 @@ def sharded_forward(disort, mesh: Mesh, prop, bc: dict, temf=None):
         f = shard_map(
             lambda p, b, t: disort.forward(p, b, t if temf is not None
                                            else None),
-            mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False)
+            mesh=mesh, in_specs=in_specs, out_specs=out_specs)
         return f(prop, bc, temf)
 
     return run(prop, bc, temf if temf is not None
@@ -111,7 +110,7 @@ def sharded_band_flux(disort, mesh: Mesh, prop, bc: dict, weights,
             return jax.lax.psum(bflx, "wave")
 
         f = shard_map(local, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs, check_vma=False)
+                      out_specs=out_specs)
         return f(prop, bc, temf, weights)
 
     return run(prop, bc, temf if temf is not None

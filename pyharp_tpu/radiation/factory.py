@@ -133,6 +133,12 @@ def create_radiation_options(
                     nwave = len(ck_weights)
         else:  # regular grid
             res = float(b.get("resolution", 1.0))
+            if res <= 0.0 or res > (wmax - wmin):
+                # res > span would invert the clipped outer bin edges
+                # (wave_lower > wave_upper -> negative bin widths)
+                raise ValueError(
+                    f"band {bname}: resolution {res} must be in (0, "
+                    f"{wmax - wmin}] (the wavenumber-range span)")
             nwave = max(int(round((wmax - wmin) / res)) + 1, 2)
             # sample points wmin + i*res (reference `resolution` semantics,
             # amarsw-lbl.yaml); each sample owns a bin of width `res`
@@ -204,9 +210,39 @@ def create_radiation_options(
 
 
 def _pick_source(cands: list[dict], bname: str) -> dict:
+    """Pick the opacity source entry for band ``bname``.
+
+    Selection is explicit-first (legacy parser:
+    ``radiation_bands_factory.cpp_:16-51`` had one source per name; this
+    build allows one entry per band under a shared name):
+
+    1. if any candidate carries an explicit ``band:`` key, only an exact
+       match is accepted — ambiguity or no match raises;
+    2. a single candidate wins outright;
+    3. otherwise the band name must appear in EXACTLY one candidate's
+       ``data`` filename — zero or several matches raise with a pointer to
+       the explicit ``band:`` key (a silent wrong pick is never possible).
+    """
     if not cands:
         raise ValueError(f"band {bname}: no opacity source found")
-    for c in cands:
-        if bname.lower() in str(c.get("data", "")).lower():
-            return c
-    return cands[0]
+    tagged = [c for c in cands if "band" in c]
+    if tagged:
+        hits = [c for c in tagged if str(c["band"]) == bname]
+        if len(hits) == 1:
+            return hits[0]
+        raise ValueError(
+            f"band {bname}: {len(hits)} opacity sources declare "
+            f"band: {bname!r} (need exactly 1); declared bands: "
+            f"{[str(c.get('band')) for c in cands]}")
+    if len(cands) == 1:
+        return cands[0]
+    hits = [c for c in cands
+            if bname.lower() in str(c.get("data", "")).lower()]
+    if len(hits) == 1:
+        return hits[0]
+    datas = [str(c.get("data", "")) for c in cands]
+    raise ValueError(
+        f"band {bname}: ambiguous opacity source — {len(cands)} candidates "
+        f"share the name and {len(hits)} of their data filenames contain "
+        f"{bname!r} ({datas}); disambiguate with an explicit 'band: "
+        f"{bname}' key on the intended opacity-sources entry")

@@ -160,8 +160,10 @@ class BeerLambert:
                 new = carry * tr + em
                 return new, new
 
+            from .disort.solver import match_vma
+
             x = (jnp.moveaxis(trans, -1, 0), jnp.moveaxis(emis, -1, 0))
-            init = jnp.zeros(trans.shape[:-1], trans.dtype)
+            init = match_vma(jnp.zeros(trans.shape[:-1], trans.dtype), trans)
             if reverse:
                 x = (x[0][::-1], x[1][::-1])
             _, ys = lax.scan(step, init, x)

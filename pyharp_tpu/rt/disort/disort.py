@@ -117,7 +117,9 @@ class Disort:
         self._rad = None
         self._last = None
 
-    _TRACED = object()  # sentinel: last call ran under jit/vmap
+    _TRACED = object()    # sentinel: last call ran under jit/vmap
+    _BYPASSED = object()  # sentinel: a fused multi-band run bypassed this
+    #                       solver (Radiation.forward(fuse_bands=True))
 
     def _stash(self, name: str, value) -> None:
         """Cache eager results for the accessors; never retain tracers."""
@@ -468,7 +470,60 @@ class Disort:
         md = self._solve_mode(pr, self._ang0, thermal=True, flux_only=True)
         flux, last = self._fluxes_from_mode0(pr, md)
         self._stash("_last", last)
+        self._maybe_print(pr, flux)
         return flux
+
+    # -- cdisort-style debug printing (print-* flags) -----------------------
+
+    def _maybe_print(self, pr, flux) -> None:
+        """Host-side diagnostics for the ``print-*`` flags (eager only).
+
+        cdisort prints these tables from c_disort when the corresponding
+        ``ds.flag.prnt[]`` entries are set (flags listed in
+        ``/root/reference/examples/amarsw-ck.yaml:96-103``).  Under
+        ``jit``/``vmap`` the values are tracers and nothing is printed —
+        printing is a host-side effect that cannot live in a traced graph.
+        """
+        want = self._flags & {"print-input", "print-fluxes",
+                              "print-phase-function"}
+        if not want:
+            return
+        import jax
+
+        leaves = jax.tree_util.tree_leaves((pr["tau"], flux))
+        if any(isinstance(x, jax.core.Tracer) for x in leaves):
+            return
+        opts = self.options
+        hdr = opts.header or "DISORT"
+        if "print-input" in self._flags:
+            print(f"\n{hdr}: input (wave 0, col 0); nlyr={opts.nlyr} "
+                  f"nstr={self.nstr} nmom={self.nmom}")
+            tau0 = np.asarray(pr["tau"])[:, 0]
+            ssa0 = np.asarray(pr["ssa"])[:, 0]
+            print(" layer       dtauc       ssalb   (top-down)")
+            for l in range(tau0.shape[0]):
+                print(f"{l + 1:6d} {tau0[l]:12.5e} {ssa0[l]:11.5f}")
+        if "print-phase-function" in self._flags:
+            pm0 = np.asarray(pr["pmom"])[:, :, 0]         # (L, nmom)
+            print(f"\n{hdr}: phase moments g_1..g_{pm0.shape[1]} "
+                  "(wave 0, col 0, top-down)")
+            for l in range(pm0.shape[0]):
+                vals = " ".join(f"{v:9.5f}" for v in pm0[l, :8])
+                print(f"{l + 1:6d} {vals}")
+        if "print-fluxes" in self._flags:
+            f0 = np.asarray(flux)[0, 0]                   # (nlvl, 2) bottom-up
+            rfldir = (np.asarray(self._last["rfldir"])[:, 0]
+                      if isinstance(self._last, dict) else
+                      np.zeros(f0.shape[0]))
+            print(f"\n{hdr}: fluxes (wave 0, col 0)")
+            print(" level      direct     diffuse-down    flux-up  "
+                  "(level 0 = TOA)")
+            nlvl = f0.shape[0]
+            for i in range(nlvl):
+                b = nlvl - 1 - i                          # bottom-up index
+                dn_diff = f0[b, 1] - rfldir[i]
+                print(f"{i:6d} {rfldir[i]:12.5e} {dn_diff:14.5e} "
+                      f"{f0[b, 0]:12.5e}")
 
     def _fluxes_from_mode0(self, pr, md):
         nwave, ncol, L = pr["nwave"], pr["ncol"], pr["L"]
@@ -749,6 +804,20 @@ class Disort:
             nmode, nwave, ncol, ntau, numu)
 
         self._stash("_rad", uu)
+        self._maybe_print(pr, flux)
+        if "print-intensity" in self._flags:
+            import jax
+
+            if not any(isinstance(x, jax.core.Tracer)
+                       for x in jax.tree_util.tree_leaves(uu)):
+                hdr = self.options.header or "DISORT"
+                u0 = np.asarray(uu)[0, 0]        # (ntau, nphi, numu)
+                print(f"\n{hdr}: intensities (wave 0, col 0); "
+                      f"umu={tuple(user_mu)} phi={tuple(user_phi)}")
+                for it in range(u0.shape[0]):
+                    for ip in range(u0.shape[1]):
+                        vals = " ".join(f"{v:12.5e}" for v in u0[it, ip])
+                        print(f" tau[{it}] phi[{ip}]: {vals}")
         return dict(flux=flux, uu=uu, uum=uum_out,
                     user_mu=tuple(user_mu), user_phi=tuple(user_phi))
 
@@ -798,6 +867,18 @@ class Disort:
         # (direct) transmission e^{-tau/mu} is already included — TOTAL
         # transmissivity, like DISORT's TRNMED
         trnmed = uu[:, :, -1, 0, nmu:]
+        if "print-transmissivity" in self._flags:
+            import jax
+
+            if not any(isinstance(x, jax.core.Tracer)
+                       for x in jax.tree_util.tree_leaves(trnmed)):
+                hdr = self.options.header or "DISORT"
+                print(f"\n{hdr}: albedo/transmissivity (wave 0, col 0)")
+                print("     mu      albmed      trnmed")
+                a0 = np.asarray(albmed)[0, 0]
+                t0 = np.asarray(trnmed)[0, 0]
+                for i, mu in enumerate(user_mu):
+                    print(f"{mu:8.4f} {a0[i]:11.5e} {t0[i]:11.5e}")
         return dict(albmed=albmed, trnmed=trnmed)
 
     def gather_rad(self):
@@ -822,6 +903,11 @@ class Disort:
             raise RuntimeError(
                 "the last forward() ran under jit/vmap; traced results are "
                 "not retained — use the flux array forward() returns")
+        if self._last is Disort._BYPASSED:
+            raise RuntimeError(
+                "the last run went through Radiation.forward(fuse_bands="
+                "True), which bypasses this band's solver; read the fused "
+                "fluxes from Radiation.forward's return value")
         if self._last is None:
             raise RuntimeError("call forward() first")
         return self._last["flup"], self._last["rfldn"], self._last["rfldir"]

@@ -12,6 +12,8 @@ Validation strategy (no cdisort binary is available in this environment):
 3. limits — IMS vanishes when delta-M truncates nothing and at the TOA.
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -141,6 +143,17 @@ def test_corrected_closer_to_high_order_truth():
     # 3e-3 the 16-stream run resolves the phase expansion essentially
     # exactly, so these stand in for the exact radiances to ~1-2%.
     truth_bot = np.array([1.7892389458112783, 1.2206793934981326])
+    if os.environ.get("PYHARP_REGEN_TRUTH"):
+        # drift detector (ADVICE r4): regenerate the frozen reference from
+        # the live 16-stream solve —
+        #   PYHARP_REGEN_TRUTH=1 pytest tests/test_ims.py -k truth
+        # (~10 min XLA:CPU compile) and compare against the constants.
+        live, _ = _radiance(16, nmom, "lamber,quiet,usrang",
+                            dtau, ssa, mom, aureole_mu)
+        live_bot = live[0, 0, -1, 0, :]
+        np.testing.assert_allclose(
+            live_bot, truth_bot, rtol=1e-6,
+            err_msg="frozen 16-stream truth has drifted; refresh truth_bot")
 
     plain, _ = _radiance(8, nmom, "lamber,quiet,usrang", dtau, ssa, mom,
                          aureole_mu)
