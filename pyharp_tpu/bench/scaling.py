@@ -148,7 +148,12 @@ def partition_overhead_run(ncol_total: int = 1024, nwave: int = 8,
 
 
 def main():
-    print(json.dumps(partition_overhead_run()))
+    import sys
+
+    ncol = 1024
+    if len(sys.argv) > 1:
+        ncol = int(sys.argv[1])
+    print(json.dumps(partition_overhead_run(ncol_total=ncol)))
 
 
 if __name__ == "__main__":
