@@ -132,6 +132,43 @@ def main():
         "seconds_for_1e6_columns_one_chip": round(1e6 / cols_per_s, 3),
     })
 
+    # radiance config (VERDICT r5: the intensities path gets a perf
+    # number): nstr=8, 4 user angles x 2 azimuths x 3 user taus, beam +
+    # HG scattering, compile time recorded alongside throughput (the
+    # mode-batched m>=1 pipeline is what keeps it tractable)
+    import jax.numpy as jnp
+
+    from pyharp_tpu.rt import Disort, DisortOptions
+
+    ncol, nwave, nlyr, nstr = 512 // scale, 32, 40, 8
+    ds = Disort(DisortOptions(
+        flags="lamber,quiet,usrang,usrtau,intensity_correction",
+        nwave=nwave, ncol=ncol, nlyr=nlyr, nstr=nstr, nmom=nstr,
+        user_mu=(-0.8, -0.4, 0.4, 0.8), user_phi=(0.0, np.pi / 2),
+        user_tau=(0.5, 2.0, 5.0)))
+    rng = np.random.default_rng(0)
+    prop = np.zeros((nwave, ncol, nlyr, 2 + nstr), np.float32)
+    prop[..., 0] = rng.uniform(0.01, 0.5, (nwave, ncol, nlyr))
+    prop[..., 1] = rng.uniform(0.1, 0.9, (nwave, ncol, nlyr))
+    prop[..., 2:] = 0.7 ** np.arange(1, nstr + 1)
+    bc = dict(albedo=jnp.full((nwave, ncol), 0.2),
+              fbeam=jnp.full((nwave, ncol), float(np.pi)),
+              umu0=jnp.full((nwave, ncol), 0.7))
+    rad_step = jax.jit(lambda p, b: ds.intensities(p, b)["uu"])
+    t0 = time.perf_counter()
+    _force(rad_step(jnp.asarray(prop), bc))
+    compile_s = time.perf_counter() - t0
+    sec = measure(rad_step, (jnp.asarray(prop), bc), iters)
+    results.append({
+        "config": "radiances_8str_4mu_2phi_3tau",
+        "shape": {"nwave": nwave, "ncol": ncol, "nlyr": nlyr,
+                  "nstr": nstr, "numu": 4, "nphi": 2, "ntau": 3},
+        "seconds": round(sec, 6),
+        "columns_per_s": round(ncol / sec, 2),
+        "radiances_per_s": round(nwave * ncol * 4 * 2 * 3 / sec, 1),
+        "compile_s_incl_cache": round(compile_s, 1),
+    })
+
     out = {"device": jax.devices()[0].device_kind, "results": results}
     print(json.dumps(out, indent=1))
     if on_tpu:

@@ -60,6 +60,65 @@ def _chi_tables(sol: LayerSolution, zp, zm, y0p, y0m, y1, ang: StaticAngles):
     return chi_a, chi_b, chi_z, chi_y0, chi_y1
 
 
+def _chi_tables_t(sol: LayerSolution, zp, zm, y0p, y0m, y1,
+                  w_np, lam_tab, parity, nstr: int):
+    """Traced-table variant of :func:`_chi_tables` (mode-batched radiance
+    path): ``lam_tab`` (G, N) / ``parity`` (G,) are arrays vmappable over
+    stacked azimuthal modes.  Returns dense arrays — ``chi_a``/``chi_b``
+    (G, N, L, B), ``chi_z``/``chi_y0``/``chi_y1`` (G, L, B) — with rows
+    l >= nstr zeroed (the solve truncates the expansion there)."""
+    dtype = sol.gp.dtype
+    G = lam_tab.shape[0]
+    lmask = np.asarray(np.arange(G) < nstr, np.float64)
+    WL = (jnp.asarray(np.asarray(w_np), dtype)[None, :]
+          * lam_tab.astype(dtype)) * jnp.asarray(lmask, dtype)[:, None]
+    par = parity.astype(dtype)
+
+    def wmom_mat(up, dn):                  # (N, N, L, B) -> (G, N, L, B)
+        return (jnp.einsum("gj,jklb->gklb", WL, up)
+                + par[:, None, None, None]
+                * jnp.einsum("gj,jklb->gklb", WL, dn))
+
+    def wmom_vec(up, dn):                  # (N, L, B) -> (G, L, B)
+        return (jnp.einsum("gj,jlb->glb", WL, up)
+                + par[:, None, None] * jnp.einsum("gj,jlb->glb", WL, dn))
+
+    chi_a = wmom_mat(sol.gp, sol.gm)
+    chi_b = wmom_mat(sol.gm, sol.gp)
+    chi_z = wmom_vec(zp, zm)
+    chi_y0 = wmom_vec(y0p, y0m)
+    chi_y1 = wmom_vec(y1, y1)
+    return chi_a, chi_b, chi_z, chi_y0, chi_y1
+
+
+def _source_coeffs_batch_t(C, Cp, chi, g_coef, ssa, fbeam, lam0_mu0,
+                           b_top_lay, slope, kappa):
+    """Traced-table variant of :func:`_source_coeffs_batch`.
+
+    ``C``/``Cp`` are (M, G) per-angle coefficient arrays (vmappable over
+    modes); ``chi`` holds the dense arrays from :func:`_chi_tables_t`;
+    ``lam0_mu0`` is (G, B).  Returns the same (SA, SB) (M, N, L, B) and
+    (SZ, S0, S1) (M, L, B)."""
+    chi_a, chi_b, chi_z, chi_y0, chi_y1 = chi
+    dtype = ssa.dtype
+    half = 0.5 * ssa
+    C = C.astype(dtype)
+    Cp = Cp.astype(dtype)
+
+    SA = half[None, None] * jnp.einsum("mg,lgb,gnlb->mnlb", C, g_coef,
+                                       chi_a)
+    SB = half[None, None] * jnp.einsum("mg,lgb,gnlb->mnlb", C, g_coef,
+                                       chi_b)
+    SZ_sc = half[None] * jnp.einsum("mg,lgb,glb->mlb", C, g_coef, chi_z)
+    qdir = jnp.einsum("mg,lgb,gb->mlb", Cp, g_coef, lam0_mu0)
+    SZ = SZ_sc + kappa * (ssa * fbeam[None, :])[None] * qdir
+    S0 = (half[None] * jnp.einsum("mg,lgb,glb->mlb", C, g_coef, chi_y0)
+          + ((1.0 - ssa) * b_top_lay)[None])
+    S1 = (half[None] * jnp.einsum("mg,lgb,glb->mlb", C, g_coef, chi_y1)
+          + ((1.0 - ssa) * slope)[None])
+    return SA, SB, SZ, S0, S1
+
+
 def _safe_div(num, den, limit, eps):
     bad = jnp.abs(den) < eps
     return jnp.where(bad, limit, num / jnp.where(bad, 1.0, den))

@@ -521,9 +521,10 @@ def fused_homogeneous_thermal(
     # VMEM footprint scales ~N^2 (gp/gm blocks are (N, N, TL, TB)); the
     # (8, 1024) default fits the 16 MB scoped limit up to N = 4 — shrink
     # the batch tile for wider stream counts (nstr = 16 at production
-    # batch previously hit "Ran out of memory in memory space vmem")
+    # batch previously hit "Ran out of memory in memory space vmem";
+    # 512 lanes measured fastest of the fitting tiles, r5 A/B)
     if block == (8, 1024) and N > 4:
-        TB = min(TB, 256)
+        TB = min(TB, 512)
     grid = (pl.cdiv(L, TL), pl.cdiv(B, TB))
 
     # pmom transposed to (nmom, L, B) so the block carries all moments;
@@ -983,8 +984,10 @@ def solve_bvp_fused(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
 def _bvp_tiles(N, L, B, block_b, chunk_l=None):
     TB = min(block_b, B)
     if block_b == 1024 and N > 4:
-        # VMEM blocks scale ~N^2 (see fused_homogeneous_thermal)
-        TB = min(TB, 256)
+        # VMEM blocks scale ~N^2; 1024 lanes exceeds the scoped limit at
+        # N = 8, and the r4 fallback of 256 was measured 1.7x SLOWER than
+        # 512 on v5e (r5 A/B: 35.1 ms vs 62.3 at the aerosol-16str shape)
+        TB = min(TB, 512)
     # the TPU lowering wants the sublane block dim divisible by 8 (or the
     # full axis): process CL layers per grid cell with an in-kernel loop
     CL = L if L < 8 else (chunk_l or 8)

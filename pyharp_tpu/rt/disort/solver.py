@@ -246,6 +246,21 @@ def _moment_coeffs(ssa, pmom, ang: StaticAngles, dtype):
     return g  # (L, G, B)
 
 
+def _moment_coeffs_masked(ssa, pmom, keep, lmax, dtype):
+    """Traced-mask variant of :func:`_moment_coeffs` for the mode-batched
+    radiance path: ``keep`` is a ``(G,)`` array (possibly vmapped over
+    modes) instead of a compile-time mask."""
+    L, B = ssa.shape
+    ones = jnp.ones((L, 1, B), dtype)
+    nmom = pmom.shape[1]
+    if nmom >= lmax:
+        g = jnp.concatenate([ones, pmom[:, :lmax]], axis=1)
+    else:
+        pad = jnp.zeros((L, lmax - nmom, B), dtype)
+        g = jnp.concatenate([ones, pmom, pad], axis=1)
+    return g * keep.astype(dtype)[None, :, None]
+
+
 def full_operators(ssa, pmom, ang: StaticAngles):
     """The reduced scattering operators V = I - w0 So W, U = I - w0 Se W.
 
@@ -294,6 +309,30 @@ def homogeneous_solution(
     # D+ +- D- split by parity: Se = sum_{l-m even}, So = sum_{l-m odd}
     Se = _ucontract_g(g, even_tab)
     So = _ucontract_g(g, odd_tab)
+    return _homogeneous_core(Se, So, ssa, dtau, ang.mu, ang.w)
+
+
+def homogeneous_solution_t(ssa, pmom, dtau, mu_np, w_np,
+                           even_tab, odd_tab, keep):
+    """Traced-table variant of :func:`homogeneous_solution` for the
+    mode-batched radiance path: ``even_tab``/``odd_tab`` are ``(G, N, N)``
+    ARRAYS (vmappable over stacked azimuthal modes) and ``keep`` is the
+    ``(G,)`` moment mask.  Same returns."""
+    dtype = ssa.dtype
+    lmax = even_tab.shape[0] - 1
+    g = _moment_coeffs_masked(ssa, pmom, keep, lmax, dtype)
+    Se = jnp.einsum("lgb,gij->ijlb", g, even_tab.astype(dtype))
+    So = jnp.einsum("lgb,gij->ijlb", g, odd_tab.astype(dtype))
+    return _homogeneous_core(Se, So, ssa, dtau, mu_np, w_np)
+
+
+def _homogeneous_core(Se, So, ssa, dtau, mu_np, w_np):
+    """Eigenstructure from the assembled parity operators (shared by the
+    static-table and traced-table paths)."""
+    dtype = ssa.dtype
+    mu = jnp.asarray(mu_np, dtype)
+    w = jnp.asarray(w_np, dtype)
+    N = mu.shape[0]
 
     sqw = jnp.sqrt(w)
     sqm = jnp.sqrt(mu)
@@ -406,6 +445,36 @@ def beam_particular(
 
     qp = kappa * qsum(False)
     qm = kappa * qsum(True)
+    return _beam_from_q(sol, Vfull, Ufull, qp, qm, ssa, fbeam, mu0,
+                        ang.mu, mu_eff)
+
+
+def beam_particular_t(sol, Vfull, Ufull, ssa, pmom, fbeam, mu0,
+                      mu_np, lam_tab, parity, keep, lam0, kappa,
+                      mu_eff=None):
+    """Traced-table variant of :func:`beam_particular` (mode-batched
+    radiance path): ``lam_tab`` (G, N), ``parity``/``keep`` (G,) are
+    arrays (vmappable over modes), ``lam0`` is the precomputed
+    ``Lam_l(mu0)`` (G, B), and ``kappa`` the mode prefactor
+    (2 - delta_m0) / 4pi."""
+    dtype = ssa.dtype
+    lmax = lam_tab.shape[0] - 1
+    g = _moment_coeffs_masked(ssa, pmom, keep, lmax, dtype)
+    ls = jnp.asarray(np.arange(lmax + 1), dtype)
+    par = parity.astype(dtype)
+    coef = g * ((2 * ls + 1) * par)[None, :, None] * lam0[None, :, :]
+    lt = lam_tab.astype(dtype)
+    qp = kappa * jnp.einsum("lgb,gi->ilb", coef, lt)
+    qm = kappa * jnp.einsum("lgb,gi->ilb", coef, lt * par[:, None])
+    return _beam_from_q(sol, Vfull, Ufull, qp, qm, ssa, fbeam, mu0,
+                        mu_np, mu_eff)
+
+
+def _beam_from_q(sol, Vfull, Ufull, qp, qm, ssa, fbeam, mu0, mu_np,
+                 mu_eff):
+    """Shared beam-particular core (from the q+- source moments on)."""
+    dtype = ssa.dtype
+    mu = jnp.asarray(mu_np, dtype)
     amp = (ssa * fbeam[None, :])[None]                 # (1, L, B)
     qp = qp * amp
     qm = qm * amp

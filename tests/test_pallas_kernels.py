@@ -101,3 +101,57 @@ def test_bvp_flux_fused_matches_xla_forward():
     f_pal = run("pallas")   # interpret mode on CPU; uses the fused flux path
     scale = np.abs(f_xla).max()
     np.testing.assert_allclose(f_pal, f_xla, atol=3e-5 * scale, rtol=3e-4)
+
+
+def test_bvp_fused_single_pass_matches_two_kernel():
+    """The single-pass fused BVP kernel (min-HBM-bytes formulation kept as
+    the roofline's byte-floor evidence) must be bit-compatible with the
+    production two-kernel path, in both output modes."""
+    ang, ssa, pmom, dtau, btop, slope = _problem(nstr=4, L=11, B=8, seed=3)
+    N = 2
+    sol, V, U = S.homogeneous_solution(ssa, pmom, dtau, ang)
+    y0p, y0m, y1 = S.thermal_particular(V, U, ssa, btop, slope, ang)
+    args = (sol, y0p, y0m, y0p + y1 * dtau[None], y0m + y1 * dtau[None],
+            jnp.zeros((N, 8), jnp.float32), jnp.ones((N, 8), jnp.float32),
+            jnp.full((8,), 0.3, jnp.float32), ang)
+    a0, b0 = PK.solve_bvp_pallas(*args, block_b=8, interpret=True)
+    a1, b1 = PK.solve_bvp_fused(*args, flux_only=False, block_b=8,
+                                interpret=True)
+    scale = max(float(jnp.max(jnp.abs(a0))), 1e-30)
+    assert float(jnp.max(jnp.abs(a0 - a1))) / scale < 3e-6
+    assert float(jnp.max(jnp.abs(b0 - b1))) / scale < 3e-6
+
+    fl0, ab0 = PK.solve_bvp_flux_pallas(*args, block_b=8, interpret=True)
+    fl1, ab1 = PK.solve_bvp_fused(*args, flux_only=True, block_b=8,
+                                  interpret=True)
+    fscale = max(float(jnp.max(jnp.abs(fl0))), 1e-30)
+    assert float(jnp.max(jnp.abs(fl0 - fl1))) / fscale < 3e-6
+    assert float(jnp.max(jnp.abs(ab0 - ab1))) / scale < 3e-6
+
+
+def test_stage1_isotropic_secular_matches_xla():
+    """The nmom=0 secular fast path must reproduce the XLA Jacobi path at
+    the eigenvalue level (mode order differs: secular sorts ascending)."""
+    ang, ssa, _, dtau, btop, slope = _problem(nstr=8, L=6, B=16, seed=4)
+    pmom0 = jnp.zeros((6, 0, 16), jnp.float32)
+    # include the edge cases: exact zero and near-conservative ssa
+    ssa = ssa.at[0, 0].set(0.0).at[1, 1].set(0.999999)
+    out = PK.fused_homogeneous_thermal(ssa, pmom0, dtau, btop, slope, ang,
+                                       block=(8, 8), interpret=True)
+    gp, gm, lam, expd, y0p, y0m, y1 = [np.asarray(x) for x in out]
+    assert all(np.isfinite(x).all() for x in (gp, gm, lam, expd))
+    sol, V, U = S.homogeneous_solution(ssa, pmom0, dtau, ang)
+    lam_x = np.sort(np.asarray(sol.lam), axis=0)
+    # atol covers the near-conservative edge (ssa -> 1: the smallest
+    # eigenvalue approaches 0 and carries only absolute f32 accuracy in
+    # BOTH methods)
+    np.testing.assert_allclose(np.sort(lam, axis=0), lam_x,
+                               rtol=2e-4, atol=5e-5)
+    # closed-form isotropic thermal particular: y1 = slope,
+    # y0p/m = btop -++ mu*slope
+    mu = np.asarray(ang.mu)
+    np.testing.assert_allclose(y1, np.broadcast_to(
+        np.asarray(slope)[None], y1.shape), rtol=1e-6)
+    want_y0p = (np.asarray(btop)[None]
+                + mu[:, None, None] * np.asarray(slope)[None])
+    np.testing.assert_allclose(y0p, want_y0p, rtol=1e-5, atol=1e-6)
