@@ -62,7 +62,7 @@ def test_beam_fluxes_match_mc_hg():
     ssa, g, albedo, mu0 = 0.9, 0.7, 0.2, 0.6
     up, dn = _solve(dtau, ssa, g, albedo,
                     dict(fbeam=jnp.full((1, 1), 1.0),
-                         umu0=jnp.full((1, 1), mu0)))
+                         umu0=jnp.full((1, 1), mu0)), nstr=8)
     mup, mdn = mc_beam_flux(dtau, ssa, g, albedo, mu0, fbeam=1.0,
                             n_photons=4_000_000)
     scale = max(mdn.max(), mup.max())
@@ -76,7 +76,8 @@ def test_thermal_fluxes_match_mc():
     blev = np.array([1.0, 1.4, 1.9, 2.3, 2.8])    # top-down Planck
     bsurf = 3.0
     albedo = 0.15
-    up, dn = _solve(dtau, ssa, 0.0, albedo, {}, blev=blev, bsurf=bsurf)
+    up, dn = _solve(dtau, ssa, 0.0, albedo, {}, blev=blev, bsurf=bsurf,
+                    nstr=8)
     mup, mdn = mc_thermal_flux(dtau, ssa, 0.0, albedo, blev, bsurf,
                                n_photons=4_000_000)
     scale = max(mup.max(), mdn.max())
@@ -88,7 +89,7 @@ def test_fisot_fluxes_match_mc():
     dtau = np.full(3, 0.8)
     ssa, albedo = 0.8, 0.3
     up, dn = _solve(dtau, ssa, 0.0, albedo,
-                    dict(fisot=jnp.full((1, 1), 1.0)))
+                    dict(fisot=jnp.full((1, 1), 1.0)), nstr=8)
     mup, mdn = mc_isotropic_flux(dtau, ssa, 0.0, albedo, fisot=1.0,
                                  n_photons=4_000_000)
     scale = mdn.max()
@@ -96,14 +97,27 @@ def test_fisot_fluxes_match_mc():
     assert np.abs(dn - mdn).max() / scale < 5e-3
 
 
-@pytest.mark.parametrize("w0,mu0", [(0.3, 0.5), (0.9, 0.8), (0.99, 0.2)])
-def test_semi_infinite_plane_albedo_matches_chandrasekhar(w0, mu0):
+def test_semi_infinite_plane_albedo_matches_chandrasekhar():
     """Deterministic exact anchor: thick isotropic atmosphere's TOA albedo
-    equals 1 - sqrt(1-w0) H(mu0) to the solver's stream-convergence."""
-    dtau = np.full(32, 2.0)                        # tau_total = 64
-    up, dn = _solve(dtau, w0, 0.0, 0.0,
-                    dict(fbeam=jnp.full((1, 1), 1.0),
-                         umu0=jnp.full((1, 1), mu0)), nstr=16)
-    got = up[0] / (mu0 * 1.0)
-    want = plane_albedo(w0, mu0)
-    assert abs(got - want) / want < 2e-3, (got, want)
+    equals 1 - sqrt(1-w0) H(mu0) to the solver's stream-convergence.
+
+    All three (w0, mu0) cases run as one BATCHED solve (the case values
+    are DATA, so XLA:CPU compiles the nstr=16 graph once, not per case).
+    """
+    cases = [(0.3, 0.5), (0.9, 0.8), (0.99, 0.2)]
+    nlyr, nstr = 32, 16
+    nmom = nstr
+    prop = np.zeros((1, len(cases), nlyr, 2 + nmom))
+    prop[..., 0] = 2.0                             # tau_total = 64
+    for i, (w0, _) in enumerate(cases):
+        prop[0, i, :, 1] = w0
+    op = DisortOptions(flags="lamber,quiet,onlyfl", nwave=1,
+                       ncol=len(cases), nlyr=nlyr, nstr=nstr, nmom=nmom)
+    bc = dict(albedo=jnp.zeros((1, len(cases))),
+              fbeam=jnp.ones((1, len(cases))),
+              umu0=jnp.asarray([[mu0 for _, mu0 in cases]]))
+    flux = np.asarray(Disort(op).forward(jnp.asarray(prop), bc))[0]
+    for i, (w0, mu0) in enumerate(cases):
+        got = flux[i, ::-1, 0][0] / mu0            # TOA up / incident
+        want = plane_albedo(w0, mu0)
+        assert abs(got - want) / want < 2e-3, (w0, mu0, got, want)

@@ -73,3 +73,34 @@ def test_pallas_matches_xla_sw_scattering():
     f_pal = run("pallas")
     scale = np.abs(f_xla).max()
     np.testing.assert_allclose(f_pal, f_xla, atol=2e-5 * scale, rtol=2e-4)
+
+
+@pytest.mark.parametrize("nstr", [8, 16])
+def test_pallas_matches_xla_isotropic_secular(nstr):
+    """The nmom=0 secular-equation fast path (r5; the bench/gas-band
+    class) vs the XLA path, compiled on hardware, scattering included."""
+    rng = np.random.default_rng(7)
+    nwave, ncol, nlyr = 8, 32, 40
+    prop = np.zeros((nwave, ncol, nlyr, 2), np.float32)
+    prop[..., 0] = rng.uniform(0.001, 0.9, (nwave, ncol, nlyr))
+    prop[..., 1] = rng.uniform(0.0, 0.9, (nwave, ncol, nlyr))
+    prop[0, 0, :, 1] = 0.0                       # pure-absorption edge
+    bc = dict(albedo=jnp.full((nwave, ncol), 0.2),
+              btemp=jnp.full((nwave, ncol), 300.0))
+    temf = jnp.asarray(
+        np.broadcast_to(np.linspace(220.0, 290.0, nlyr + 1),
+                        (ncol, nlyr + 1)).copy(), jnp.float32)
+
+    def run(kernel):
+        ds = Disort(DisortOptions(
+            flags="lamber,quiet,onlyfl,planck", nwave=nwave, ncol=ncol,
+            nlyr=nlyr, nstr=nstr, nmom=nstr,
+            wave_lower=(1.0,) * nwave, wave_upper=(500.0,) * nwave,
+            kernel=kernel))
+        return np.asarray(jax.jit(ds.forward)(jnp.asarray(prop), bc, temf))
+
+    f_xla = run("xla")
+    f_pal = run("pallas")
+    assert np.all(np.isfinite(f_pal))
+    scale = np.abs(f_xla).max()
+    np.testing.assert_allclose(f_pal, f_xla, atol=1e-4 * scale, rtol=5e-4)
