@@ -68,6 +68,25 @@ def _mul(a, b):
     return None if (a is None or b is None) else a * b
 
 
+def _sds(shape, dtype, like):
+    """ShapeDtypeStruct carrying the varying-manual-axes of ``like``.
+
+    Under ``shard_map`` with the replication checker on (check_vma, the
+    default since JAX 0.9), ``pallas_call`` requires its out_shape structs
+    to declare how outputs vary across mesh axes; kernel outputs vary
+    exactly like their batch inputs.  Outside shard_map the vma set is
+    empty and this is a plain ShapeDtypeStruct.
+    """
+    try:
+        vma = jax.typeof(like).vma
+    except (AttributeError, TypeError):
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+
 def _matmul(A, B, n):
     """Matrix product treating None entries as structural zeros."""
     like = next(x for row in A for x in row if x is not None)
@@ -555,13 +574,13 @@ def fused_homogeneous_thermal(
         pl.BlockSpec((TL, TB), im2, memory_space=pltpu.VMEM),          # slope
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((N, N, L, B), dtype),   # gp
-        jax.ShapeDtypeStruct((N, N, L, B), dtype),   # gm
-        jax.ShapeDtypeStruct((N, L, B), dtype),      # lam
-        jax.ShapeDtypeStruct((N, L, B), dtype),      # expd
-        jax.ShapeDtypeStruct((N, L, B), dtype),      # y0p
-        jax.ShapeDtypeStruct((N, L, B), dtype),      # y0m
-        jax.ShapeDtypeStruct((N, L, B), dtype),      # y1
+        _sds((N, N, L, B), dtype, ssa),   # gp
+        _sds((N, N, L, B), dtype, ssa),   # gm
+        _sds((N, L, B), dtype, ssa),      # lam
+        _sds((N, L, B), dtype, ssa),      # expd
+        _sds((N, L, B), dtype, ssa),      # y0p
+        _sds((N, L, B), dtype, ssa),      # y0m
+        _sds((N, L, B), dtype, ssa),      # y1
     ]
     out_specs = [
         pl.BlockSpec((N, N, TL, TB), im_nn, memory_space=pltpu.VMEM),
@@ -953,8 +972,8 @@ def solve_bvp_fused(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
             pl.BlockSpec((2 * N, TB), im_b, memory_space=pltpu.VMEM),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((2, L, B), dtype),
-            jax.ShapeDtypeStruct((2 * N, B), dtype),
+            _sds((2, L, B), dtype, sol.lam),
+            _sds((2 * N, B), dtype, sol.lam),
         ]
     else:
         out_specs = [
@@ -962,8 +981,8 @@ def solve_bvp_fused(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
             pl.BlockSpec((N, L, TB), im_n, memory_space=pltpu.VMEM),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((N, L, B), dtype),
-            jax.ShapeDtypeStruct((N, L, B), dtype),
+            _sds((N, L, B), dtype, sol.lam),
+            _sds((N, L, B), dtype, sol.lam),
         ]
 
     return pl.pallas_call(
@@ -1037,8 +1056,8 @@ def _bvp_forward(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
             pl.BlockSpec((2 * N, CL, TB), im_n, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((2 * N, N, L, B), dtype),
-            jax.ShapeDtypeStruct((2 * N, L, B), dtype),
+            _sds((2 * N, N, L, B), dtype, sol.lam),
+            _sds((2 * N, L, B), dtype, sol.lam),
         ],
         scratch_shapes=[
             pltpu.VMEM((N, 2 * N, TB), dtype),   # R carry
@@ -1086,8 +1105,8 @@ def solve_bvp_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
             pl.BlockSpec((N, CL, TB), rev_n, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, L, B), dtype),
-            jax.ShapeDtypeStruct((N, L, B), dtype),
+            _sds((N, L, B), dtype, sol.lam),
+            _sds((N, L, B), dtype, sol.lam),
         ],
         scratch_shapes=[pltpu.VMEM((N, TB), dtype)],
         interpret=interpret,
@@ -1146,8 +1165,8 @@ def solve_bvp_flux_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
             pl.BlockSpec((2 * N, TB), im_ab, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((2, L, B), dtype),
-            jax.ShapeDtypeStruct((2 * N, B), dtype),
+            _sds((2, L, B), dtype, sol.lam),
+            _sds((2 * N, B), dtype, sol.lam),
         ],
         scratch_shapes=[pltpu.VMEM((N, TB), dtype)],
         interpret=interpret,
