@@ -18,6 +18,14 @@ solves/s = 18.6 columns/s, and the repo's dense f64 oracle
 (tests/oracle/dense_bvp.py, algorithmically heavier than cdisort) 0.34
 columns/s.  We use the LARGEST of the three — the most conservative
 denominator — so the quoted ratio is a floor.
+
+A compiled cdisort timing remains unobtainable here (its C source is
+fetched from an external repo at configure time and is absent from the
+reference checkout; this environment has no network).  The compiled
+third-party-class reference that DOES exist — the C Monte Carlo oracle
+(csrc/mc_oracle.c, RMSE.md) — validates ACCURACY, not throughput: at
+1e8 photons it spends ~15-250 s per single (wave, column) atmosphere,
+so it is not a meaningful rate denominator for a deterministic solver.
 """
 
 from __future__ import annotations
