@@ -253,12 +253,15 @@ def _stage1_isotropic(ssa_ref, dtau_ref, btop_ref, slope_ref,
     """
     N = ang.mu.shape[0]
     if bisect is None:
-        # wider stream counts have wider pole brackets (d_max = 1/mu_min^2
-        # grows fast); a few extra fixed iterations keep the largest root
-        # Newton-converged (measured vs the f64 Jacobi reference)
-        bisect = 8 if N <= 4 else 11
+        # bisection-heavy schedules measured BOTH cheaper and more
+        # accurate than Newton-heavy ones (Newton clamped inside a wide
+        # bracket can stall on a boundary; r5 A/B vs the f64 Jacobi
+        # reference: (10,2) at 8.6e-7 vs the old (8,4) at 2.6e-4 scaled
+        # eigenvalue error).  Wider stream counts have wider pole
+        # brackets (d_max = 1/mu_min^2), hence more bisections.
+        bisect = 10 if N <= 4 else 12
     if newton is None:
-        newton = 4 if N <= 4 else 6
+        newton = 2
     mu = np.asarray(ang.mu, np.float64)
     w = np.asarray(ang.w, np.float64)
     d = 1.0 / mu**2                       # descending (mu ascending)
