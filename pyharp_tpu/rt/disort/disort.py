@@ -414,14 +414,20 @@ class Disort:
         if self._use_pallas(dtype):
             from .pallas_kernels import solve_bvp_flux_pallas, solve_bvp_pallas
 
-            # the fused-flux backward wins at every stream count once the
-            # batch tile is right: r4's "loses at N = 8" was an artifact
-            # of the 256-lane VMEM fallback (r5 A/B at TB = 512: fused
-            # 35.1 ms vs 41.3 unfused at the aerosol-16str shape)
-            if flux_only:
-                fl, ab_last = solve_bvp_flux_pallas(
+            # the fused-flux backward wins for N <= 4 (the headline bench
+            # path).  At N = 8 the ISOLATED kernel is faster fused too
+            # (35.1 ms vs 41.3 at TB = 512, r5 A/B) but the FULL-GRAPH
+            # step is ~2x slower with fusion on (250 ms vs 134.5; XLA
+            # schedules the surrounding beam/eigen graph pathologically
+            # around the fused call at these shapes) — in-context
+            # measurement wins over the micro-benchmark, so the gate
+            # stays.  The r5 TB = 512 tile fix is what lifted nstr = 16
+            # throughput (782 -> ~950 cols/s at the aerosol shape).
+            if flux_only and N <= 4:
+                fl, fl_bot = solve_bvp_flux_pallas(
                     sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
                     albedo, ang)
+                ab_last = fl_bot          # (2, B): bottom-LEVEL wmu-sums
                 a = b = None
             else:
                 a, b = solve_bvp_pallas(
@@ -669,17 +675,17 @@ class Disort:
         EL = E[:, -1]
 
         if md.get("fl") is not None:
-            # fused Pallas path: layer-top wmu-sums came out of the BVP
-            # backward kernel; only the (N, B)-sized bottom level remains
-            N = self.nstr // 2
-            ab = md["ab_last"]                           # (2N, B)
-            aL, bL = ab[:N], ab[N:]
-            up_bot = _umv(gpL, EL * aL) + _umv(gmL, bL) + md["pb_p"]
-            dn_bot = _umv(gmL, EL * aL) + _umv(gpL, bL) + md["pb_m"]
+            # fused Pallas path: BOTH the layer-top and bottom-level
+            # wmu-sums come out of the BVP backward kernel, so this
+            # epilogue consumes kernel outputs ONLY — touching gp/gm or
+            # the particular solutions here would make XLA rematerialize
+            # the whole upstream graph instead of holding the multi-GB
+            # live set across the kernel (measured 2x step time, r5)
+            fl_bot = md["ab_last"]                       # (2, B)
             flup = 2.0 * jnp.pi * jnp.concatenate(
-                [md["fl"][0], _uwdot_static(wmu_np, up_bot)[None]], axis=0)
+                [md["fl"][0], fl_bot[0][None]], axis=0)
             rfldn = 2.0 * jnp.pi * jnp.concatenate(
-                [md["fl"][1], _uwdot_static(wmu_np, dn_bot)[None]], axis=0)
+                [md["fl"][1], fl_bot[1][None]], axis=0)
             up_all = dn_all = None   # node radiances not materialized here
         else:
             a, b = md["a"], md["b"]

@@ -743,7 +743,8 @@ def _bvp_bwd_kernel(gp_ref, gm_ref, e_ref, P_ref, g_ref,
 
 
 def _bvp_bwd_flux_kernel(gp_ref, gm_ref, e_ref, P_ref, g_ref, tp_ref, tm_ref,
-                         fl_out, ab_out, dxs,
+                         pbp_ref, pbm_ref,
+                         fl_out, flb_out, dxs,
                          *, N: int, L: int, CL: int, nchunk: int, wmu: tuple):
     """Back-substitution fused with the level-flux contraction.
 
@@ -752,9 +753,13 @@ def _bvp_bwd_flux_kernel(gp_ref, gm_ref, e_ref, P_ref, g_ref, tp_ref, tm_ref,
     swapped downward analog — instead of materializing a, b for a separate
     XLA flux-assembly pass (which would re-read the ~GB gp/gm tensors from
     HBM).  The up-sum is exactly the carry update ``dx``, so it costs
-    nothing extra; the down-sum adds 2 N^2 madds per layer.  The bottom-
-    layer (a, b) pair is snapshotted to ``ab_out`` so the caller can form
-    the bottom-level fluxes (a (2N, B)-sized epilogue) in XLA.
+    nothing extra; the down-sum adds 2 N^2 madds per layer.  The BOTTOM-
+    LEVEL fluxes are also contracted IN-KERNEL (``flb_out``, needing the
+    bottom particular values pbp/pbm) so the caller's epilogue consumes
+    ONLY kernel outputs: if it read gp/gm/particulars after this kernel,
+    XLA rematerializes the whole upstream graph rather than keep the
+    multi-GB live set across the call — measured 2x the step time at the
+    aerosol-16str shape (r5).
     """
     j = pl.program_id(1)
     c = nchunk - 1 - j                     # real chunk index
@@ -764,8 +769,8 @@ def _bvp_bwd_flux_kernel(gp_ref, gm_ref, e_ref, P_ref, g_ref, tp_ref, tm_ref,
     def _():
         for i in range(N):
             dxs[i] = zero
-        for i in range(2 * N):
-            ab_out[i] = zero
+        flb_out[0] = zero
+        flb_out[1] = zero
 
     def body(i_s, _):
         s = CL - 1 - i_s
@@ -773,13 +778,25 @@ def _bvp_bwd_flux_kernel(gp_ref, gm_ref, e_ref, P_ref, g_ref, tp_ref, tm_ref,
         xn = [g_ref[i, s] + _addn([P_ref[i, k, s] * dx[k]
                                    for k in range(N)], zero)
               for i in range(2 * N)]
-        # snapshot the bottom layer's coefficients (processed in the FIRST
-        # grid step, so later steps must not overwrite: the where keeps
-        # ab_out fixed once written — the constant index map makes this
-        # block a persistent accumulator)
+        # bottom-LEVEL fluxes from the bottom layer's coefficients
+        # (processed in the FIRST grid step; the where keeps the constant-
+        # index-map accumulator block fixed once written):
+        #   up_bot = gp E a + gm b + pb_p (E-ordering swapped vs layer top)
         is_bot = c * CL + s == L - 1
-        for i in range(2 * N):
-            ab_out[i] = jnp.where(is_bot, xn[i], ab_out[i])
+        upb = [_addn([gp_ref[i, k, s] * e_ref[k, s] * xn[k]
+                      for k in range(N)]
+                     + [gm_ref[i, k, s] * xn[N + k] for k in range(N)],
+                     zero) + pbp_ref[i] for i in range(N)]
+        dnb = [_addn([gm_ref[i, k, s] * e_ref[k, s] * xn[k]
+                      for k in range(N)]
+                     + [gp_ref[i, k, s] * xn[N + k] for k in range(N)],
+                     zero) + pbm_ref[i] for i in range(N)]
+        flb_out[0] = jnp.where(
+            is_bot, _addn([float(wmu[i]) * upb[i] for i in range(N)], zero),
+            flb_out[0])
+        flb_out[1] = jnp.where(
+            is_bot, _addn([float(wmu[i]) * dnb[i] for i in range(N)], zero),
+            flb_out[1])
         upv = [_addn([gp_ref[i, k, s] * xn[k] for k in range(N)]
                      + [gm_ref[i, k, s] * e_ref[k, s] * xn[N + k]
                         for k in range(N)], zero) for i in range(N)]
@@ -1123,12 +1140,15 @@ def solve_bvp_flux_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
     """BVP solve with the level-flux contraction fused into the backward
     sweep (the ``onlyfl`` fast path).
 
-    Returns ``(fl, ab_last)``: ``fl`` is ``(2, L, B)`` — the wmu-weighted
+    Returns ``(fl, fl_bot)``: ``fl`` is ``(2, L, B)`` — the wmu-weighted
     up/down intensity sums at every LAYER TOP (particular parts included;
-    multiply by 2 pi for fluxes) — and ``ab_last`` is ``(2N, B)``, the
-    bottom layer's (a, b) coefficients for the bottom-level epilogue.
-    Skipping the (N, L, B) a/b outputs and the separate XLA flux pass
-    saves two full reads of gp/gm plus the a/b round-trip per solve.
+    multiply by 2 pi for fluxes) — and ``fl_bot`` is ``(2, B)``, the same
+    sums at the BOTTOM LEVEL, contracted in-kernel so the caller's
+    epilogue depends only on kernel outputs (otherwise XLA rematerializes
+    the entire upstream eigen/particular graph to avoid carrying the
+    multi-GB gp/gm live set across this call — measured 2x step time at
+    nstr = 16).  Skipping the (N, L, B) a/b outputs and the separate XLA
+    flux pass saves two full reads of gp/gm plus the a/b round-trip.
     """
     dtype = sol.lam.dtype
     N, L, B = sol.lam.shape
@@ -1150,7 +1170,7 @@ def solve_bvp_flux_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
     def im_ab(i, j):
         return (0, i)
 
-    fl, ab_last = pl.pallas_call(
+    fl, fl_bot = pl.pallas_call(
         functools.partial(_bvp_bwd_flux_kernel, N=N, L=L, CL=CL,
                           nchunk=nchunk, wmu=wmu),
         grid=grid,
@@ -1162,16 +1182,24 @@ def solve_bvp_flux_pallas(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
             pl.BlockSpec((2 * N, CL, TB), rev_n, memory_space=pltpu.VMEM),
             pl.BlockSpec((N, CL, TB), rev_n, memory_space=pltpu.VMEM),
             pl.BlockSpec((N, CL, TB), rev_n, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, TB), im_ab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, TB), im_ab, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((2, CL, TB), rev_n, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * N, TB), im_ab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TB), im_ab, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             _sds((2, L, B), dtype, sol.lam),
-            _sds((2 * N, B), dtype, sol.lam),
+            _sds((2, B), dtype, sol.lam),
         ],
         scratch_shapes=[pltpu.VMEM((N, TB), dtype)],
         interpret=interpret,
-    )(gp, gm, E, Ps_hbm, gs_hbm, ptop_p, ptop_m)
-    return fl, ab_last
+    )(gp, gm, E, Ps_hbm, gs_hbm, ptop_p, ptop_m,
+      pbot_p[:, -1], pbot_m[:, -1])
+    # without this barrier XLA has been observed to DUPLICATE the whole
+    # upstream chain (stage-1 + particulars + both BVP kernels) once per
+    # downstream consumer of the two outputs — 2x step time at nstr = 16
+    # (r5 measurement); the barrier pins a single execution
+    fl, fl_bot = jax.lax.optimization_barrier((fl, fl_bot))
+    return fl, fl_bot

@@ -121,12 +121,25 @@ def test_bvp_fused_single_pass_matches_two_kernel():
     assert float(jnp.max(jnp.abs(a0 - a1))) / scale < 3e-6
     assert float(jnp.max(jnp.abs(b0 - b1))) / scale < 3e-6
 
-    fl0, ab0 = PK.solve_bvp_flux_pallas(*args, block_b=8, interpret=True)
+    fl0, flb0 = PK.solve_bvp_flux_pallas(*args, block_b=8, interpret=True)
     fl1, ab1 = PK.solve_bvp_fused(*args, flux_only=True, block_b=8,
                                   interpret=True)
     fscale = max(float(jnp.max(jnp.abs(fl0))), 1e-30)
     assert float(jnp.max(jnp.abs(fl0 - fl1))) / fscale < 3e-6
-    assert float(jnp.max(jnp.abs(ab0 - ab1))) / scale < 3e-6
+    # flux_pallas emits the bottom-LEVEL wmu-sums in-kernel; rebuild them
+    # from the fused kernel's bottom (a, b) snapshot
+    wmu = jnp.asarray(ang.w * ang.mu, jnp.float32)
+    aL, bL = ab1[:N], ab1[N:]
+    gpL, gmL, EL = sol.gp[:, :, -1], sol.gm[:, :, -1], sol.expd[:, -1]
+    pbp = (y0p + y1 * dtau[None])[:, -1]
+    pbm = (y0m + y1 * dtau[None])[:, -1]
+    up_bot = jnp.einsum("ikb,kb->ib", gpL, EL * aL) \
+        + jnp.einsum("ikb,kb->ib", gmL, bL) + pbp
+    dn_bot = jnp.einsum("ikb,kb->ib", gmL, EL * aL) \
+        + jnp.einsum("ikb,kb->ib", gpL, bL) + pbm
+    want_bot = jnp.stack([jnp.einsum("i,ib->b", wmu, up_bot),
+                          jnp.einsum("i,ib->b", wmu, dn_bot)])
+    assert float(jnp.max(jnp.abs(flb0 - want_bot))) / fscale < 3e-6
 
 
 def test_stage1_isotropic_secular_matches_xla():
