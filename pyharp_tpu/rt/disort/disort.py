@@ -501,10 +501,10 @@ class Disort:
                 Cl.append(Cm)
                 Cpl.append(Cm * angm.parity[None, :])
 
-        def stk(xs, like_shape=None):
+        def stk(xs):
             if xs:
                 return jnp.asarray(np.stack(xs), dtype)
-            return jnp.zeros((len(ms), 0, G), dtype)
+            return jnp.zeros((len(ms), 0, G), dtype)   # empty hemisphere
 
         tabs = (jnp.asarray(np.stack(evens), dtype),
                 jnp.asarray(np.stack(odds), dtype),
