@@ -337,16 +337,34 @@ class Disort:
         umu0 = pr["umu0"]
         fbeam = pr["fbeam"]
 
+        zp_k = zm_k = None
         if self._use_pallas(dtype):
             from .pallas_kernels import fused_homogeneous_thermal
 
-            gp, gm, lam, expd, y0p, y0m, y1 = fused_homogeneous_thermal(
-                pr["ssa_s"], pr["pmom_s"], dtau_s,
-                pr["b_top_lay"], pr["slope"], ang, thermal=thermal)
+            if pr["has_beam"] and ang.m == 0:
+                # beam particular computed IN-KERNEL on the already-live
+                # operators: the XLA formulation's (N, N, L, B)
+                # intermediates and batched pivoted LU cost 9.2 ms of the
+                # 26.9 ms sw-lbl step / 55 ms of the aerosol-16str step
+                # (r5 measurements)
+                G = ang.lam_tables.shape[0]
+                lam0 = _solver.lepoly(umu0, 0, G - 1)
+                mur = (pr["mu_eff"] if pr["mu_eff"] is not None
+                       else jnp.broadcast_to(umu0[None], pr["ssa_s"].shape))
+                (gp, gm, lam, expd, y0p, y0m, y1,
+                 zp_k, zm_k) = fused_homogeneous_thermal(
+                    pr["ssa_s"], pr["pmom_s"], dtau_s,
+                    pr["b_top_lay"], pr["slope"], ang, thermal=thermal,
+                    fbeam=fbeam, mur=mur, lam0=lam0)
+            else:
+                gp, gm, lam, expd, y0p, y0m, y1 = fused_homogeneous_thermal(
+                    pr["ssa_s"], pr["pmom_s"], dtau_s,
+                    pr["b_top_lay"], pr["slope"], ang, thermal=thermal)
             sol = _solver.LayerSolution(lam, gp, gm, expd)
-            # the cheap reduced operators are only needed by the beam /
-            # general-source particular solutions
-            if pr["has_beam"] or pr["gensrc"] is not None:
+            # the cheap reduced operators are only needed by the
+            # general-source particular solution (and the XLA beam
+            # fallback for m > 0)
+            if (pr["has_beam"] and zp_k is None) or pr["gensrc"] is not None:
                 Vfull, Ufull = _solver.full_operators(
                     pr["ssa_s"], pr["pmom_s"], ang)
             else:
@@ -357,9 +375,12 @@ class Disort:
             y0p = y0m = y1 = None
 
         if pr["has_beam"]:
-            zp, zm = _solver.beam_particular(
-                sol, Vfull, Ufull, pr["ssa_s"], pr["pmom_s"], fbeam, umu0,
-                ang, mu_eff=pr["mu_eff"])
+            if zp_k is not None:
+                zp, zm = zp_k, zm_k
+            else:
+                zp, zm = _solver.beam_particular(
+                    sol, Vfull, Ufull, pr["ssa_s"], pr["pmom_s"], fbeam,
+                    umu0, ang, mu_eff=pr["mu_eff"])
             chtau_s = pr["chtau_s"]                      # (L+1, B) slant
             att_top = jnp.exp(-chtau_s[:-1])             # (L, B)
             att_bot = jnp.exp(-chtau_s[1:])

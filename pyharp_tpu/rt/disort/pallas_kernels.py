@@ -224,7 +224,8 @@ def _stage1_isotropic(ssa_ref, dtau_ref, btop_ref, slope_ref,
                       gp_ref, gm_ref, lam_ref, expd_ref,
                       y0p_ref, y0m_ref, y1_ref,
                       *, ang: StaticAngles, thermal: bool,
-                      bisect: int | None = None, newton: int | None = None):
+                      bisect: int | None = None, newton: int | None = None,
+                      beam_refs=None, beam_outs=None):
     """Exact isotropic-scattering eigenstructure via the secular equation.
 
     For ``nmom == 0`` at mode ``m == 0`` (every pure-gas / grey band — the
@@ -391,18 +392,59 @@ def _stage1_isotropic(ssa_ref, dtau_ref, btop_ref, slope_ref,
             y0p_ref[i] = zero
             y0m_ref[i] = zero
 
+    if beam_refs is not None:
+        # isotropic beam particular: only the l = 0 moment survives, so
+        # q+ = q- = kappa, qd = 0, Vfull = I and Ufull = I - ssa 1 w^T
+        # (Sherman-Morrison-trivial), mirroring solver._beam_from_q
+        fbeam_ref, mur_ref, _ = beam_refs
+        zp_ref, zm_ref = beam_outs
+        kappa = 1.0 / (4.0 * np.pi)
+        amp = ssa * fbeam_ref[0]
+        mur = mur_ref[:]
+        qs = [2.0 * kappa * amp for _ in range(N)]
+        rhs = [qs[i] * float(1.0 / mu[i] ** 2) for i in range(N)]
+        S_mat = [[gp[i][k] + gm[i][k] for k in range(N)] for i in range(N)]
+        (cc,) = _lu_solve_cols(S_mat, [rhs], N)
+        inv_mur2 = 1.0 / (mur * mur)
+        scaled = []
+        for k in range(N):
+            lam2k = jnp.maximum(xs[k], 1e-12)
+            den = lam2k - inv_mur2
+            floor = 1e-4 * (lam2k + inv_mur2)
+            den = jnp.where(jnp.abs(den) < floor,
+                            jnp.where(den < 0, -floor, floor), den)
+            scaled.append(cc[k] / den)
+        zs = [_addn([S_mat[i][k] * scaled[k] for k in range(N)], ssa)
+              for i in range(N)]
+        wz = _addn([float(w[j]) * zs[j] for j in range(N)], ssa)
+        for i in range(N):
+            uz = zs[i] - ssa * wz            # (I - ssa 1 w^T) zs
+            zd_i = -mur * (uz - qs[i]) * float(1.0 / mu[i])
+            zp_ref[i] = 0.5 * (zs[i] + zd_i)
+            zm_ref[i] = 0.5 * (zs[i] - zd_i)
 
-def _stage1_kernel(ssa_ref, pmom_ref, dtau_ref, btop_ref, slope_ref,
-                   gp_ref, gm_ref, lam_ref, expd_ref,
-                   y0p_ref, y0m_ref, y1_ref,
-                   *, ang: StaticAngles, nmom: int, sweeps: int,
-                   thermal: bool):
+
+def _stage1_kernel(*refs, ang: StaticAngles, nmom: int, sweeps: int,
+                   thermal: bool, beam: bool = False):
+    if beam:
+        (ssa_ref, pmom_ref, dtau_ref, btop_ref, slope_ref,
+         fbeam_ref, mur_ref, lam0_ref,
+         gp_ref, gm_ref, lam_ref, expd_ref,
+         y0p_ref, y0m_ref, y1_ref, zp_ref, zm_ref) = refs
+        beam_refs = (fbeam_ref, mur_ref, lam0_ref)
+        beam_outs = (zp_ref, zm_ref)
+    else:
+        (ssa_ref, pmom_ref, dtau_ref, btop_ref, slope_ref,
+         gp_ref, gm_ref, lam_ref, expd_ref,
+         y0p_ref, y0m_ref, y1_ref) = refs
+        beam_refs = beam_outs = None
     if nmom == 0 and ang.m == 0:
         # isotropic fast path: exact secular-equation eigenstructure
         _stage1_isotropic(ssa_ref, dtau_ref, btop_ref, slope_ref,
                           gp_ref, gm_ref, lam_ref, expd_ref,
                           y0p_ref, y0m_ref, y1_ref,
-                          ang=ang, thermal=thermal)
+                          ang=ang, thermal=thermal,
+                          beam_refs=beam_refs, beam_outs=beam_outs)
         return
     N = ang.mu.shape[0]
     dtype = ssa_ref.dtype
@@ -508,21 +550,95 @@ def _stage1_kernel(ssa_ref, pmom_ref, dtau_ref, btop_ref, slope_ref,
             y0p_ref[i] = zero
             y0m_ref[i] = zero
 
+    if beam:
+        # ---- beam particular Z+- in-kernel (mirrors solver._beam_from_q;
+        # the XLA formulation materializes (N, N, L, B) operator tensors
+        # and a batched pivoted LU through HBM — measured 9.2 ms of the
+        # 26.9 ms sw-lbl step and 55 ms of the aerosol-16str step; here
+        # the operators are already live in registers) ----
+        lam_tab = ang.lam_tables                       # (G, N) static
+        par = ang.parity
+        kappa = 1.0 / (4.0 * np.pi)                    # m = 0
+        fbeam_row = fbeam_ref[0]                       # (TB,)
+        mur = mur_ref[:]                               # (TL, TB)
+        lcut = min(G, ang.nstr)
+        # q+-[i] = kappa sum_l (2l+1) par_l g_l Lam_l(mu0) Lam_l(+-mu_i)
+        coef = [None] * lcut
+        for l in range(lcut):
+            c2p = (2 * l + 1) * float(par[l])
+            base = c2p * lam0_ref[l]
+            coef[l] = base if l == 0 or g[l] is None else base * g[l]
+            if l > 0 and g[l] is None:
+                coef[l] = None
+        qp_b = []
+        qm_b = []
+        for i in range(N):
+            accp = accm = None
+            for l in range(lcut):
+                t = float(lam_tab[l, i])
+                if t == 0.0 or coef[l] is None:
+                    continue
+                termp = coef[l] * t
+                termm = coef[l] * (t * float(par[l]))
+                accp = termp if accp is None else accp + termp
+                accm = termm if accm is None else accm + termm
+            qp_b.append(kappa * (accp if accp is not None
+                                 else jnp.zeros_like(ssa)))
+            qm_b.append(kappa * (accm if accm is not None
+                                 else jnp.zeros_like(ssa)))
+        amp = ssa * fbeam_row
+        qs = [(qp_b[i] + qm_b[i]) * amp for i in range(N)]
+        qd = [(qp_b[i] - qm_b[i]) * amp for i in range(N)]
+        rhs = [(_addn([Vfull[i][j] * (qs[j] / mu[j]) for j in range(N)],
+                      ssa)) / mu[i] - qd[i] / (mu[i] * mur)
+               for i in range(N)]
+        S_mat = [[gp[i][k] + gm[i][k] for k in range(N)] for i in range(N)]
+        (c,) = _lu_solve_cols(S_mat, [rhs], N)
+        inv_mur2 = 1.0 / (mur * mur)
+        zs = [None] * N
+        scaled = []
+        for k in range(N):
+            lam2k = lam[k] * lam[k]
+            den = lam2k - inv_mur2
+            floor = 1e-4 * (lam2k + inv_mur2)
+            den = jnp.where(jnp.abs(den) < floor,
+                            jnp.where(den < 0, -floor, floor), den)
+            scaled.append(c[k] / den)
+        for i in range(N):
+            zs[i] = _addn([S_mat[i][k] * scaled[k] for k in range(N)], ssa)
+        Ufull_b = [[float(i == j) - ssa * Se[i][j] * w[j]
+                    for j in range(N)] for i in range(N)]
+        for i in range(N):
+            uz = _addn([Ufull_b[i][j] * zs[j] for j in range(N)], ssa)
+            zd_i = -mur * (uz - qs[i]) / mu[i]
+            zp_ref[i] = 0.5 * (zs[i] + zd_i)
+            zm_ref[i] = 0.5 * (zs[i] - zd_i)
+
 
 def fused_homogeneous_thermal(
     ssa, pmom, dtau, b_top, slope, ang: StaticAngles,
     *, thermal: bool = True, sweeps: int | None = None,
     block=(8, 1024), interpret=None,
+    fbeam=None, mur=None, lam0=None,
 ):
-    """Pallas-fused ``homogeneous_solution`` + ``thermal_particular``.
+    """Pallas-fused ``homogeneous_solution`` + ``thermal_particular``
+    (+ optionally ``beam_particular``).
 
     Args match ``solver.homogeneous_solution`` /
     ``solver.thermal_particular``: ssa/dtau/b_top/slope ``(L, B)``,
     pmom ``(L, nmom, B)`` (delta-M scaled).
 
-    Returns ``(gp, gm, lam, expd, y0p, y0m, y1)`` with the solver layouts
-    ``(N, N, L, B)`` / ``(N, L, B)``.
+    When ``fbeam`` (B,), ``mur`` (L, B) (the per-layer beam decay cosine:
+    broadcast mu0 plane-parallel, ``mu_eff`` under spher) and ``lam0``
+    (G, B) (``lepoly(mu0, 0)``) are given, the beam particular Z+- is
+    computed IN-KERNEL on the already-live operators and returned as two
+    extra outputs — the XLA formulation's (N, N, L, B) intermediates and
+    batched pivoted LU cost 9-55 ms/step at the SW bench shapes (r5).
+
+    Returns ``(gp, gm, lam, expd, y0p, y0m, y1[, zp, zm])`` with the
+    solver layouts ``(N, N, L, B)`` / ``(N, L, B)``.
     """
+    beam = fbeam is not None
     N = ang.mu.shape[0]
     L, B = ssa.shape
     nmom = pmom.shape[1]
@@ -576,6 +692,22 @@ def fused_homogeneous_thermal(
         pl.BlockSpec((TL, TB), im2, memory_space=pltpu.VMEM),          # btop
         pl.BlockSpec((TL, TB), im2, memory_space=pltpu.VMEM),          # slope
     ]
+    args = [ssa, pmom_t, dtau, b_top, slope]
+    if beam:
+        G = ang.lam_tables.shape[0]
+
+        def im_row(i, j):
+            return (0, j)
+
+        def im_g(i, j):
+            return (0, j)
+
+        in_specs += [
+            pl.BlockSpec((1, TB), im_row, memory_space=pltpu.VMEM),    # fbeam
+            pl.BlockSpec((TL, TB), im2, memory_space=pltpu.VMEM),      # mur
+            pl.BlockSpec((G, TB), im_g, memory_space=pltpu.VMEM),      # lam0
+        ]
+        args += [fbeam[None, :], mur, lam0]
     out_shape = [
         _sds((N, N, L, B), dtype, ssa),   # gp
         _sds((N, N, L, B), dtype, ssa),   # gm
@@ -594,9 +726,17 @@ def fused_homogeneous_thermal(
         pl.BlockSpec((N, TL, TB), im3, memory_space=pltpu.VMEM),
         pl.BlockSpec((N, TL, TB), im3, memory_space=pltpu.VMEM),
     ]
+    if beam:
+        out_shape += [_sds((N, L, B), dtype, ssa),    # zp
+                      _sds((N, L, B), dtype, ssa)]    # zm
+        out_specs += [
+            pl.BlockSpec((N, TL, TB), im3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, TL, TB), im3, memory_space=pltpu.VMEM),
+        ]
 
     kernel = functools.partial(
-        _stage1_kernel, ang=ang, nmom=nmom, sweeps=sweeps, thermal=thermal)
+        _stage1_kernel, ang=ang, nmom=nmom, sweeps=sweeps, thermal=thermal,
+        beam=beam)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -604,7 +744,7 @@ def fused_homogeneous_thermal(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(ssa, pmom_t, dtau, b_top, slope)
+    )(*args)
 
 
 # ---------------------------------------------------------------------------
