@@ -72,7 +72,15 @@ def synth_table(path: str, wave: np.ndarray, species: str,
 
 
 def ensure_tables(node: dict, ng: int = 8) -> None:
-    """Create any missing per-band tables referenced by the config."""
+    """Create any missing per-band tables referenced by the config.
+
+    A table left by an earlier run at a DIFFERENT ``--resolution`` is
+    regenerated: the RFM table's wavenumber grid defines the band's
+    spectral sampling (as in the reference, rfm.cpp:36-58), so a stale
+    grid would disagree with the factory's per-bin band edges.
+    """
+    from pyharp_tpu.tables.rfm import load_rfm_table
+
     for bname in node.get("bands", ()):
         b = node[bname]
         wmin, wmax = b["wavenumber-range"]
@@ -80,16 +88,23 @@ def ensure_tables(node: dict, ng: int = 8) -> None:
             if bname.lower() not in str(src.get("data", "")).lower():
                 continue
             path = src["data"]
-            if os.path.exists(path):
-                continue
             if b.get("grid-type") == "cktable":
                 wave = np.linspace(wmin, wmax, ng)
-                synth_table(path, wave, src["name"], ck_weights=True)
             else:
                 res = float(b.get("resolution", 1.0))
                 nw = max(int(round((wmax - wmin) / res)) + 1, 2)
                 wave = wmin + res * np.arange(nw)
-                synth_table(path, wave, src["name"], ck_weights=False)
+            if os.path.exists(path):
+                try:
+                    tbl = load_rfm_table(path, src["name"])
+                    if (tbl.wavenumber.shape[0] == wave.shape[0]
+                            and np.allclose(tbl.wavenumber, wave)):
+                        continue
+                except Exception:
+                    pass
+                os.remove(path)      # stale grid: regenerate
+            synth_table(path, wave, src["name"],
+                        ck_weights=b.get("grid-type") == "cktable")
 
 
 def main():
