@@ -1081,8 +1081,10 @@ def solve_bvp_fused(sol, ptop_p, ptop_m, pbot_p, pbot_m, ftop, bot_rhs,
     """Single-kernel BVP solve (forward + backward in one pass).
 
     Same contract as :func:`solve_bvp_pallas` (``flux_only=False`` ->
-    (a, b)) / :func:`solve_bvp_flux_pallas` (``flux_only=True`` ->
-    (fl, ab_last)).  HBM traffic per solve is one read of gp/gm/E/dblk
+    (a, b)); with ``flux_only=True`` returns ``(fl, ab_last)`` where
+    ``ab_last`` is the bottom layer's raw (a, b) snapshot (2N, B) —
+    unlike the production :func:`solve_bvp_flux_pallas`, which now emits
+    the contracted bottom-LEVEL flux row instead.  HBM traffic per solve is one read of gp/gm/E/dblk
     (+ptop pair) and one write of the outputs — the P/g carries never
     leave VMEM.
     """
